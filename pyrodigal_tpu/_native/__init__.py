@@ -126,6 +126,8 @@ _lib.rc_record_overlapping_starts.argtypes = [
 _lib.rc_record_gc_bias.argtypes = [c_i8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_dynamic_programming.argtypes = [_NP, ctypes.c_void_p, ctypes.c_int]
 _lib.rc_dynamic_programming.restype = ctypes.c_int
+_lib.rc_dp_finish.argtypes = [_NP]
+_lib.rc_dp_finish.restype = ctypes.c_int
 _lib.rc_eliminate_bad_genes.argtypes = [_NP, ctypes.c_int, ctypes.c_void_p]
 _lib.rc_extract_genes.argtypes = [
     _NP, ctypes.c_int, c_i32p, c_i32p, c_i32p, c_i32p, ctypes.c_int]

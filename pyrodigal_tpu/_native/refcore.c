@@ -1084,6 +1084,8 @@ static void conn_backward_stop(nodes_t *nd, int n1, int n2,
 
 /* ---- the dynamic program (reference: lib.pyx:1205-1311) ----------------- */
 
+int rc_dp_finish(nodes_t *nd);
+
 int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
     int i, j, min, kind, path, nxt, tmp;
     int nn = nd->nn;
@@ -1134,7 +1136,19 @@ int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
         }
     }
 
-    /* best terminal node: 3'fwd or 5'rev (reference: lib.pyx:1239-1251) */
+    return rc_dp_finish(nd);
+}
+
+/* post-scan tail of the DP: terminal argmax, overlap disentangling and
+ * forward pointers; shared by the C loop above and the JAX/TPU scan path
+ * (which computes score/traceb/ov_mark on device and finishes here). */
+int rc_dp_finish(nodes_t *nd) {
+    int i, path, nxt, tmp;
+    int nn = nd->nn;
+    int max_ndx = -1;
+    double max_sc = -1.0;
+
+    /* best terminal node */
     for (i = nn - 1; i >= 0; i--) {
         if (nd->strand[i] == 1 && nd->type[i] != TSTOP) continue;
         if (nd->strand[i] == -1 && nd->type[i] == TSTOP) continue;

@@ -3,7 +3,7 @@ import sys
 
 # Run JAX on CPU with a virtual 8-device mesh for sharding tests, unless the
 # caller explicitly asked for a real platform.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +11,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The host environment registers an experimental TPU PJRT plugin ("axon")
+# through sitecustomize; its initialization can block when the device tunnel
+# is busy.  Tests run on the CPU backend, so deregister the plugin factory
+# before any backend is initialized.
+try:  # pragma: no cover - depends on host environment
+    import jax
+    import jax._src.xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name != "cpu":
+            _xb._backend_factories.pop(_name, None)
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import pytest  # noqa: E402
 
