@@ -18,11 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # before any backend is initialized.
 try:  # pragma: no cover - depends on host environment
     import jax
-    import jax._src.xla_bridge as _xb
 
-    for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name != "cpu":
-            _xb._backend_factories.pop(_name, None)
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
