@@ -490,3 +490,363 @@ def dp_pallas(ndx, stop_val, typ, strand, cs, rscore, uscore, star_ptr,
     traceb = np.where(traceb >= -1, traceb, -1)
     ov = np.asarray(ov)[:, W:W + n]
     return score, traceb, ov
+
+
+# --------------------------------------------------------------------------
+# fully batched variant: geometry per batch element (mixed contigs x bins)
+# --------------------------------------------------------------------------
+
+def _dp_kernel_b(  # noqa: C901
+    # all tensors shape (B, NP)
+    ndx_ref, sv_ref, kind_ref, frame_ref, strand_ref, winlo_ref, valid_ref,
+    cs_ref, rsc_ref, usc_ref,
+    opv10_ref, opv11_ref, opv12_ref, opv1ok0_ref, opv1ok1_ref, opv1ok2_ref,
+    val30_ref, val31_ref, val32_ref,
+    tsv0_ref, tsv1_ref, tsv2_ref,
+    tndx0_ref, tndx1_ref, tndx2_ref,
+    tok0_ref, tok1_ref, tok2_ref,
+    stwt_ref, nchunk_ref,
+    _i0, _i1, _i2, _i3,
+    score_ref, traceb_ref, ovmark_ref, tbndx_ref,
+    *, W, NP, B,
+):
+    """Like _dp_kernel but every per-i scalar is a (B, 1) vector, so one
+    launch sweeps a heterogeneous batch of (contig, bin) work items."""
+    WP = W + 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, WP), 1)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+
+    def colB(ref, ip):
+        base = pl.multiple_of((ip // 128) * 128, 128)
+        tile = ref[:, pl.ds(base, 128)]
+        sel = l128 == (ip - base)
+        return jnp.sum(jnp.where(sel, tile, 0), axis=1, keepdims=True)
+
+    def igm_same(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
+        dist = jnp.abs(ndx1 - ndx2)
+        overlap = ndx1 + 2 * strand1 >= ndx2
+        adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
+        fwd = strand1 == 1
+        r_n = jnp.where(fwd, rsc2, rsc1)
+        u_n = jnp.where(fwd, usc2, usc1)
+        rval = jnp.where(
+            adjacent,
+            jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
+            0.0,
+        )
+        far = dist > 3 * OPER_DIST
+        operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
+        bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
+        return rval + jnp.where(far, -0.15 * st_wt,
+                                jnp.where(operon, bonus, 0.0))
+
+    max_chunks = nchunk_ref[0, 0]
+
+    def body(i, carry):
+        ip = i + W
+
+        i_valid = colB(valid_ref, ip)           # (B,1)
+        i_ndx = colB(ndx_ref, ip)
+        i_sv = colB(sv_ref, ip)
+        i_kind = colB(kind_ref, ip)
+        i_fr = colB(frame_ref, ip)
+        win_lo = colB(winlo_ref, ip) + W        # physical, (B,1)
+        st_wt = stwt_ref[:, 0:1]
+
+        cs_i = colB(cs_ref, ip)
+        rsc_i = colB(rsc_ref, ip)
+        usc_i = colB(usc_ref, ip)
+
+        v30 = colB(val30_ref, ip)
+        v31 = colB(val31_ref, ip)
+        v32 = colB(val32_ref, ip)
+        o30 = colB(tok0_ref, ip)
+        o31 = colB(tok1_ref, ip)
+        o32 = colB(tok2_ref, ip)
+        sv30 = colB(tsv0_ref, ip)
+        sv31 = colB(tsv1_ref, ip)
+        sv32 = colB(tsv2_ref, ip)
+        nd30 = colB(tndx0_ref, ip)
+        nd31 = colB(tndx1_ref, ip)
+        nd32 = colB(tndx2_ref, ip)
+
+        i_is_stop = (i_kind == 1) | (i_kind == 3)
+        i_fwd = i_kind < 2
+
+        def chunk_body(c, carry):
+            best, bestj, bestf, bestn = carry
+            lo = ip - (c + 1) * W
+            hi = ip - c * W
+            al = pl.multiple_of((lo // 128) * 128, 128)
+            al = jnp.maximum(al, 0)
+            al = pl.multiple_of(al, 128)
+            sl = pl.ds(al, WP)
+            jp = al + lane
+
+            n1_ndx = ndx_ref[:, sl]
+            n1_sv = sv_ref[:, sl]
+            n1_kind = kind_ref[:, sl]
+            n1_fr = frame_ref[:, sl]
+            n1_strand = strand_ref[:, sl]
+            n1_valid = valid_ref[:, sl]
+            n1_cs = cs_ref[:, sl]
+            n1_rsc = rsc_ref[:, sl]
+            n1_usc = usc_ref[:, sl]
+            n1_score = score_ref[:, sl]
+            n1_tb = traceb_ref[:, sl]
+            n1_tbndx = tbndx_ref[:, sl]
+
+            okm = ((jp >= lo) & (jp < hi) & (jp >= win_lo) & (jp < ip)
+                   & (n1_valid != 0) & (i_valid != 0))
+
+            f1_stop = n1_kind == 1
+            f1_start = n1_kind == 0
+            r1_stop = n1_kind == 3
+            r1_start = n1_kind == 2
+            n1_is_stop = f1_stop | r1_stop
+            n1_fwd = n1_kind < 2
+            skip = (
+                (~n1_is_stop & ~i_is_stop & (n1_fwd == i_fwd))
+                | (n1_fwd & ~n1_is_stop & ~i_fwd)
+                | (~n1_fwd & n1_is_stop & i_fwd)
+                | (~n1_fwd & ~n1_is_stop & i_fwd & i_is_stop)
+                | ((n1_fwd == i_fwd) & n1_fwd & ~n1_is_stop & i_is_stop
+                   & (n1_fr != i_fr))
+                | ((n1_fwd == i_fwd) & ~n1_fwd & n1_is_stop & ~i_is_stop
+                   & (n1_fr != i_fr))
+            )
+            artifact = (n1_tb == -1) & (f1_stop | r1_start)
+            okm = okm & ~skip & ~artifact
+
+            igm_j_i = igm_same(n1_ndx, n1_strand, n1_rsc, n1_usc,
+                               i_ndx, rsc_i, usc_i, st_wt)
+            igm_diff = jnp.float32(-0.15) * st_wt
+
+            # case 0: i fwd start
+            ok0 = ((f1_stop & ((n1_ndx + 2) < i_ndx))
+                   | (~f1_stop & (n1_ndx < i_ndx)))
+            sc0 = jnp.where(f1_stop, igm_j_i, igm_diff)
+
+            # case 1: i fwd stop
+            gene_ok = i_sv < n1_ndx
+            opv = jnp.where(
+                i_fr == 0, opv10_ref[:, sl],
+                jnp.where(i_fr == 1, opv11_ref[:, sl], opv12_ref[:, sl]))
+            opok = jnp.where(
+                i_fr == 0, opv1ok0_ref[:, sl],
+                jnp.where(i_fr == 1, opv1ok1_ref[:, sl], opv1ok2_ref[:, sl]))
+            ok1 = ((f1_start & gene_ok)
+                   | (~f1_start & gene_ok & (opok != 0)))
+            sc1 = jnp.where(f1_start, n1_cs, opv)
+
+            # case 2: i rev start
+            bnd = jnp.where(n1_tb == -1, 0, n1_tbndx)
+            ovlp = (n1_ndx + 2) - (i_sv - 2) + 1
+            ov_ok = (
+                ((i_sv - 2) < (n1_ndx + 2))
+                & (ovlp < MAX_OPP_OVLP)
+                & ((n1_ndx - i_sv) < (i_ndx - n1_ndx + 3))
+                & ((n1_ndx - i_sv) < (i_sv - 3 - bnd))
+            )
+            ok2 = (r1_stop & (n1_sv > i_ndx)) | (~r1_stop & ov_ok)
+            sc2 = jnp.where(r1_stop, cs_i + 0 * igm_diff, cs_i + igm_diff)
+
+            # case 3: i rev stop
+            left = n1_ndx + 2
+            right = i_ndx - 2
+            int_ok = left < right
+            bv = jnp.zeros((B, WP), jnp.float32)
+            bf = jnp.full((B, WP), -1, jnp.int32)
+            for k, (v_i, sv_i3, ndx_i3, ok_i3) in enumerate((
+                (v30, sv30, nd30, o30), (v31, sv31, nd31, o31),
+                (v32, sv32, nd32, o32),
+            )):
+                o = left - sv_i3 + 3
+                vald = (
+                    (ok_i3 != 0)
+                    & (o > 0) & (o < MAX_OPP_OVLP)
+                    & (o < ndx_i3 - left)
+                    & (n1_tb != -1)
+                    & (o < sv_i3 - bnd - 2)
+                )
+                better = vald & (v_i > bv)
+                bv = jnp.where(better, v_i, bv)
+                bf = jnp.where(better, k, bf)
+            f_sc = jnp.where(bf != -1, bv, igm_diff)
+            v3 = jnp.where(n1_fr == 0, v30, jnp.where(n1_fr == 1, v31, v32))
+            ok3v = jnp.where(n1_fr == 0, o30, jnp.where(n1_fr == 1, o31, o32))
+            op_ok = (n1_sv > i_ndx) & (ok3v != 0)
+            sc3 = jnp.where(f1_stop, f_sc, jnp.where(r1_start, igm_j_i, v3))
+            ok3 = ((f1_stop & int_ok)
+                   | (r1_start & (n1_ndx < right))
+                   | (~f1_stop & ~r1_start & op_ok))
+            m3 = jnp.where(f1_stop, bf, -1)
+
+            cand = jnp.where(
+                i_kind == 0, jnp.where(okm & ok0, sc0, jnp.float32(NEGF)),
+                jnp.where(
+                    i_kind == 1, jnp.where(okm & ok1, sc1, jnp.float32(NEGF)),
+                    jnp.where(
+                        i_kind == 2,
+                        jnp.where(okm & ok2, sc2, jnp.float32(NEGF)),
+                        jnp.where(okm & ok3, sc3, jnp.float32(NEGF)))))
+            m = jnp.where(i_kind == 3, m3, -1)
+
+            total = jnp.where(cand > jnp.float32(NEGF / 2),
+                              n1_score + cand, jnp.float32(NEGF))
+            cmax = jnp.max(total, axis=1, keepdims=True)
+            is_max = total == cmax
+            pick = jnp.max(jnp.where(is_max, lane, -1), axis=1, keepdims=True)
+            sel = lane == pick
+            pickf = jnp.max(jnp.where(sel, m, -1), axis=1, keepdims=True)
+            pickn = jnp.max(jnp.where(sel, n1_ndx, -1), axis=1, keepdims=True)
+            cmaxv = cmax[:, 0]
+            upd = cmaxv > best
+            bestj = jnp.where(upd, al + pick[:, 0], bestj)
+            bestf = jnp.where(upd, pickf[:, 0], bestf)
+            bestn = jnp.where(upd, pickn[:, 0], bestn)
+            best = jnp.where(upd, cmaxv, best)
+            return best, bestj, bestf, bestn
+
+        init = (
+            jnp.full((B,), jnp.float32(NEGF), jnp.float32),
+            jnp.full((B,), -1, jnp.int32),
+            jnp.full((B,), -1, jnp.int32),
+            jnp.full((B,), 0, jnp.int32),
+        )
+        best, bestj, bestf, bestn = jax.lax.fori_loop(
+            0, max_chunks, chunk_body, init)
+
+        base = pl.multiple_of((ip // 128) * 128, 128)
+        selc = l128 == (ip - base)
+        cur = score_ref[:, pl.ds(base, 128)]
+        cur_tb = traceb_ref[:, pl.ds(base, 128)]
+        cur_ov = ovmark_ref[:, pl.ds(base, 128)]
+        cur_tn = tbndx_ref[:, pl.ds(base, 128)]
+        cur_col = jnp.sum(jnp.where(selc, cur, 0), axis=1)
+        do = ((best > jnp.float32(NEGF / 2)) & (best >= cur_col)
+              & (i_valid[:, 0] != 0))
+        doc = selc & do[:, None]
+        score_ref[:, pl.ds(base, 128)] = jnp.where(doc, best[:, None], cur)
+        traceb_ref[:, pl.ds(base, 128)] = jnp.where(doc, bestj[:, None], cur_tb)
+        ovmark_ref[:, pl.ds(base, 128)] = jnp.where(doc, bestf[:, None], cur_ov)
+        tbndx_ref[:, pl.ds(base, 128)] = jnp.where(doc, bestn[:, None], cur_tn)
+        return 0
+
+    jax.lax.fori_loop(0, NP - W - 128, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "NP", "B", "interpret"))
+def _run_kernel_b(args, W, NP, B, interpret=False):
+    kernel = functools.partial(_dp_kernel_b, W=W, NP=NP, B=B)
+    n_in = len(args)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, NP), jnp.float32),
+        jax.ShapeDtypeStruct((B, NP), jnp.int32),
+        jax.ShapeDtypeStruct((B, NP), jnp.int32),
+        jax.ShapeDtypeStruct((B, NP), jnp.int32),
+    ]
+    init_shapes = [(B, NP)] * 4
+    grid_spec = pl.GridSpec(
+        grid=(1,),
+        in_specs=(
+            [pl.BlockSpec(a.shape, lambda i: tuple([0] * a.ndim),
+                          memory_space=pltpu.VMEM)
+             for a in args]
+            + [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for s in init_shapes]
+        ),
+        out_specs=[
+            pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for s in out_shapes
+        ],
+    )
+    init_score = jnp.zeros((B, NP), jnp.float32)
+    init_tb = jnp.full((B, NP), -1, jnp.int32)
+    init_ov = jnp.full((B, NP), -1, jnp.int32)
+    init_tn = jnp.zeros((B, NP), jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={n_in + 0: 0, n_in + 1: 1, n_in + 2: 2,
+                              n_in + 3: 3},
+        interpret=interpret,
+    )(*args, init_score, init_tb, init_ov, init_tn)
+
+
+def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False):
+    """Run the batched Pallas DP over heterogeneous (contig, bin) items.
+
+    geometry / per_bin: dicts of (B, n) numpy arrays (geometry may differ
+    per element); star_ptr is (B, n, 3).  Returns (score, traceb, ov_mark)
+    shaped (B, n).
+    """
+    ndx = geometry["ndx"]
+    B, n = ndx.shape
+    NP = W + int(np.ceil(n / 128) * 128) + 128
+
+    kind = (2 * (geometry["strand"] != 1)
+            + (geometry["typ"] == STOP)).astype(np.int32)
+    frame = (ndx % 3).astype(np.int32)
+
+    def pad2(a, fill=0):
+        a = np.pad(a, ((0, 0), (0, NP - W - n)), constant_values=fill)
+        return _pad(a, W, value=fill)
+
+    valid = pad2(geometry["valid"].astype(np.int32))
+    tabs = [
+        precompute_tables_v2(
+            ndx[b].astype(np.int64), geometry["stop_val"][b].astype(np.int64),
+            geometry["strand"][b].astype(np.int64),
+            per_bin["cs"][b].astype(np.float64),
+            per_bin["rscore"][b].astype(np.float64),
+            per_bin["uscore"][b].astype(np.float64),
+            per_bin["star_ptr"][b], float(st_wt[b]),
+        )
+        for b in range(B)
+    ]
+    opv1 = np.stack([t[0] for t in tabs])
+    opv1ok = np.stack([t[1] for t in tabs])
+    val3 = np.stack([t[2] for t in tabs])
+    t_sv = np.stack([t[3] for t in tabs])
+    t_ndx = np.stack([t[4] for t in tabs])
+    t_ok = np.stack([t[5] for t in tabs])
+
+    ext = (np.arange(n)[None, :] - geometry["win_lo"]).max()
+    max_chunks = int(np.ceil(max(ext, 1) / W))
+
+    args = [
+        jnp.asarray(pad2(ndx.astype(np.int32))),
+        jnp.asarray(pad2(geometry["stop_val"].astype(np.int32))),
+        jnp.asarray(pad2(kind)),
+        jnp.asarray(pad2(frame)),
+        jnp.asarray(pad2(geometry["strand"].astype(np.int32))),
+        jnp.asarray(pad2(geometry["win_lo"].astype(np.int32))),
+        jnp.asarray(valid),
+        jnp.asarray(pad2(per_bin["cs"].astype(np.float32))),
+        jnp.asarray(pad2(per_bin["rscore"].astype(np.float32))),
+        jnp.asarray(pad2(per_bin["uscore"].astype(np.float32))),
+    ]
+    for k in range(3):
+        args.append(jnp.asarray(pad2(opv1[:, k, :])))
+    for k in range(3):
+        args.append(jnp.asarray(pad2(opv1ok[:, k, :].astype(np.int32))))
+    for k in range(3):
+        args.append(jnp.asarray(pad2(val3[:, k, :])))
+    for k in range(3):
+        args.append(jnp.asarray(pad2(t_sv[:, k, :].astype(np.int32))))
+    for k in range(3):
+        args.append(jnp.asarray(pad2(t_ndx[:, k, :].astype(np.int32))))
+    for k in range(3):
+        args.append(jnp.asarray(pad2(t_ok[:, k, :].astype(np.int32))))
+    args.append(jnp.asarray(np.tile(st_wt.astype(np.float32)[:, None],
+                                    (1, NP))))
+    args.append(jnp.full((1, 1), max_chunks, jnp.int32))
+
+    score, traceb, ov, _ = _run_kernel_b(tuple(args), W, NP, B, interpret)
+    score = np.asarray(score)[:, W:W + n]
+    traceb = np.asarray(traceb)[:, W:W + n] - W
+    traceb = np.where(traceb >= -1, traceb, -1)
+    ov = np.asarray(ov)[:, W:W + n]
+    return score, traceb, ov

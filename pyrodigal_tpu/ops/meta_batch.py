@@ -1,0 +1,211 @@
+"""High-throughput meta mode: many contigs x bins in one Pallas launch.
+
+Work items (contig, bin) are gathered across a stream of contigs, padded to
+a fixed (B, N) shape (so a single kernel compilation serves the whole run,
+with the persistent compilation cache making it a one-time cost), scored on
+the host with the exact C engine in a thread pool (the C calls release the
+GIL), and swept by the batched VMEM-resident DP kernel.  Winning bins are
+finished with the exact C tail.
+"""
+
+import ctypes
+import concurrent.futures
+
+import numpy as np
+
+from .. import _native
+from ..sequence import Sequence
+from ..nodes import Nodes
+from ..genes import Genes
+from . import dp_jax, dp_pallas
+
+
+class BatchMetaRunner:
+    """Batched meta-mode gene calling over contig streams."""
+
+    def __init__(self, metagenomic_bins, *, closed=False, min_gene=90,
+                 min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
+                 node_bucket=3072, batch_size=32, scoring_threads=8,
+                 window=1024):
+        self.bins = metagenomic_bins
+        self.closed = closed
+        self.min_gene = min_gene
+        self.min_edge_gene = min_edge_gene
+        self.max_overlap = max_overlap
+        self.mask = mask
+        self.min_mask = min_mask
+        self.node_bucket = node_bucket
+        self.batch_size = batch_size
+        self.window = window
+        self.pool = concurrent.futures.ThreadPoolExecutor(scoring_threads)
+
+    # -- per-contig preparation (host, C engine) ---------------------------
+
+    def _candidate_bins(self, seq):
+        low = min(0.65, 0.88495 * seq.gc - 0.0102337)
+        high = max(0.35, 0.86596 * seq.gc + 0.1131991)
+        return [
+            i for i in range(len(self.bins))
+            if low <= self.bins[i].training_info.gc <= high
+        ]
+
+    def _extract(self, seq, tt):
+        nodes = Nodes()
+        nodes.extract(
+            seq, translation_table=tt, closed=self.closed,
+            min_gene=self.min_gene, min_edge_gene=self.min_edge_gene,
+        )
+        nodes.sort()
+        return nodes
+
+    def _score_item(self, seq, base_nodes, bin_id):
+        """Score one (contig, bin) item on a private node copy."""
+        tinf = self.bins[bin_id].training_info
+        nodes = base_nodes.copy()
+        nodes.reset_scores()
+        nodes.score_nodes(seq, tinf, closed=self.closed, is_meta=True)
+        nodes.record_overlapping_starts(tinf, 1, self.max_overlap)
+        return nodes
+
+    def _prepare_contig(self, seq):
+        """All work items for one contig: [(bin_id, tt, base_nodes, scored)]."""
+        cand = self._candidate_bins(seq)
+        items = []
+        by_tt = {}
+        for b in cand:
+            tt = self.bins[b].training_info.translation_table
+            if tt not in by_tt:
+                by_tt[tt] = self._extract(seq, tt)
+        futures = {
+            b: self.pool.submit(
+                self._score_item, seq,
+                by_tt[self.bins[b].training_info.translation_table], b,
+            )
+            for b in cand
+        }
+        for b in cand:
+            items.append((b, futures[b].result(),
+                          by_tt[self.bins[b].training_info.translation_table]))
+        return items
+
+    # -- the batched sweep -------------------------------------------------
+
+    def _sweep(self, work):
+        """work: list of (contig_idx, bin_id, scored_nodes).  Runs the
+        batched DP and returns per-item (terminal_score, dp_state)."""
+        if not work:
+            return []
+        B = self.batch_size
+        n = self.node_bucket
+        W = self.window
+
+        geometry = {
+            "ndx": np.zeros((B, n), np.int32),
+            "stop_val": np.zeros((B, n), np.int32),
+            "typ": np.zeros((B, n), np.int32),
+            "strand": np.ones((B, n), np.int32),
+            "win_lo": np.zeros((B, n), np.int32),
+            "valid": np.zeros((B, n), np.int32),
+        }
+        per_bin = {
+            "cs": np.zeros((B, n), np.float32),
+            "rscore": np.zeros((B, n), np.float32),
+            "uscore": np.zeros((B, n), np.float32),
+            "star_ptr": np.full((B, n, 3), -1, np.int32),
+        }
+        st_wt = np.full(B, 4.35, np.float32)
+
+        for k, (_, bin_id, nodes) in enumerate(work):
+            nn = nodes.length
+            assert nn <= n, (nn, n)
+            geometry["ndx"][k, :nn] = nodes.ndx[:nn]
+            geometry["stop_val"][k, :nn] = nodes.stop_val[:nn]
+            geometry["typ"][k, :nn] = nodes.type[:nn]
+            geometry["strand"][k, :nn] = nodes.strand[:nn]
+            geometry["win_lo"][k, :nn] = dp_jax.window_starts(
+                nodes.ndx[:nn].astype(np.int64),
+                nodes.stop_val[:nn].astype(np.int64),
+                nodes.type[:nn], nodes.strand[:nn],
+            )
+            geometry["valid"][k, :nn] = 1
+            per_bin["cs"][k, :nn] = nodes.cscore[:nn] + nodes.sscore[:nn]
+            per_bin["rscore"][k, :nn] = nodes.rscore[:nn]
+            per_bin["uscore"][k, :nn] = nodes.uscore[:nn]
+            per_bin["star_ptr"][k, :nn] = (
+                nodes.star_ptr[:nn * 3].reshape(nn, 3)
+            )
+            st_wt[k] = self.bins[bin_id].training_info.start_weight
+
+        score, traceb, ov = dp_pallas.dp_pallas_batched(
+            geometry, per_bin, st_wt, W=W,
+        )
+
+        out = []
+        for k, (_, bin_id, nodes) in enumerate(work):
+            nn = nodes.length
+            typ = nodes.type[:nn]
+            strand = nodes.strand[:nn]
+            terminal = ((strand == 1) & (typ == 3)) | ((strand == -1) & (typ != 3))
+            s = score[k, :nn]
+            best = float(s[terminal].max()) if terminal.any() else -1.0
+            out.append((best, (score[k, :nn], traceb[k, :nn], ov[k, :nn])))
+        return out
+
+    def _finish(self, genes, seq, bin_id, nodes, dp_state):
+        tinf = self.bins[bin_id].training_info
+        nn = nodes.length
+        score, traceb, ov = dp_state
+        nodes.score[:nn] = score.astype(np.float64)
+        nodes.traceb[:nn] = traceb
+        nodes.ov_mark[:nn] = ov
+        s = nodes._struct()
+        ipath = _native.lib.rc_dp_finish(ctypes.byref(s))
+        if nn > 0:
+            nodes.eliminate_bad_genes(ipath, tinf)
+        genes._extract(nodes, ipath)
+        genes._tweak_final_starts(nodes, tinf, self.max_overlap)
+        genes.nodes = nodes
+        genes.metagenomic_bin = self.bins[bin_id]
+        genes.training_info = tinf
+        return genes
+
+    def find_genes_batch(self, sequences, num_seq_start=1):
+        """Call genes on a list of sequences; returns a list of `Genes`."""
+        # prepare + score all (contig, bin) items
+        contigs = []
+        all_items = []
+        for ci, s in enumerate(sequences):
+            seq = Sequence(s, mask=self.mask, mask_size=self.min_mask)
+            contigs.append(seq)
+            for (b, scored, _base) in self._prepare_contig(seq):
+                all_items.append((ci, b, scored))
+
+        # sweep in fixed-size batches
+        results = []
+        for ofs in range(0, len(all_items), self.batch_size):
+            chunk = all_items[ofs:ofs + self.batch_size]
+            results.extend(self._sweep(chunk))
+
+        # pick each contig's best bin (first on ties, like the reference)
+        best = {}
+        for (item, res) in zip(all_items, results):
+            ci, b, nodes = item
+            sc, state = res
+            if ci not in best or sc > best[ci][0]:
+                best[ci] = (sc, b, nodes, state)
+
+        out = []
+        for ci, seq in enumerate(contigs):
+            genes = Genes()
+            genes._num_seq = num_seq_start + ci
+            genes.meta = True
+            genes.sequence = seq
+            if ci in best and best[ci][0] > -100.0:
+                _, b, nodes, state = best[ci]
+                self._finish(genes, seq, b, nodes, state)
+            else:
+                genes.nodes = Nodes()
+                genes.metagenomic_bin = None
+                genes.training_info = None
+            out.append(genes)
+        return out
