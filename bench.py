@@ -55,12 +55,12 @@ def main():
     # workload: GCF genome chopped into 80kb contigs
     records = list(parse(data("GCF_001457455.1_NCTC11397_genomic.fna.gz")))
     genome = "".join(r.seq for r in records)
-    CHUNK = 80_000
+    CHUNK = 40_000
     contigs = [genome[i:i + CHUNK] for i in range(0, len(genome), CHUNK)]
     contigs = [c for c in contigs if len(c) >= 20_000]
 
     runner = BatchMetaRunner(
-        METAGENOMIC_BINS, node_bucket=3072, batch_size=32, window=1024,
+        METAGENOMIC_BINS, node_bucket=3072, batch_size=16, window=1024,
     )
 
     # warmup (compile)

@@ -340,6 +340,47 @@ class Genes:
             return 0.0
         return float(self.nodes.score[self.ipath])
 
+    # --- pickling (reference: lib.pyx:3107-3167) ------------------------------
+
+    def __getstate__(self):
+        state = {
+            "_num_seq": self._num_seq,
+            "meta": self.meta,
+            "ipath": self.ipath,
+            "nodes": self.nodes,
+            "sequence": self.sequence,
+            "genes": {
+                "begin": self._begin, "end": self._end,
+                "start_ndx": self._start_ndx, "stop_ndx": self._stop_ndx,
+            },
+        }
+        if self.meta:
+            state["metagenomic_bin"] = self.metagenomic_bin
+        else:
+            state["training_info"] = self.training_info
+        return state
+
+    def __setstate__(self, state):
+        self._num_seq = state["_num_seq"]
+        self.meta = state["meta"]
+        self.ipath = state.get("ipath", -1)
+        self.nodes = state["nodes"]
+        self.sequence = state["sequence"]
+        g = state["genes"]
+        self._begin = g["begin"]
+        self._end = g["end"]
+        self._start_ndx = g["start_ndx"]
+        self._stop_ndx = g["stop_ndx"]
+        if self.meta:
+            self.metagenomic_bin = state["metagenomic_bin"]
+            self.training_info = (
+                None if self.metagenomic_bin is None
+                else self.metagenomic_bin.training_info
+            )
+        else:
+            self.metagenomic_bin = None
+            self.training_info = state["training_info"]
+
     # --- extraction -----------------------------------------------------------
 
     def _extract(self, nodes, ipath):

@@ -775,7 +775,8 @@ def _run_kernel_b(args, W, NP, B, interpret=False):
     )(*args, init_score, init_tb, init_ov, init_tn)
 
 
-def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False):
+def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
+                      return_device=False):
     """Run the batched Pallas DP over heterogeneous (contig, bin) items.
 
     geometry / per_bin: dicts of (B, n) numpy arrays (geometry may differ
@@ -813,8 +814,10 @@ def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False):
     t_ndx = np.stack([t[4] for t in tabs])
     t_ok = np.stack([t[5] for t in tabs])
 
-    ext = (np.arange(n)[None, :] - geometry["win_lo"]).max()
-    max_chunks = int(np.ceil(max(ext, 1) / W))
+    span = np.arange(n)[None, :] - geometry["win_lo"]
+    span = np.where(geometry["valid"] != 0, span, 0)
+    ext = span.max()
+    max_chunks = int(np.ceil(max(int(ext), 1) / W))
 
     args = [
         jnp.asarray(pad2(ndx.astype(np.int32))),
@@ -845,6 +848,9 @@ def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False):
     args.append(jnp.full((1, 1), max_chunks, jnp.int32))
 
     score, traceb, ov, _ = _run_kernel_b(tuple(args), W, NP, B, interpret)
+    if return_device:
+        # logical views on device; traceback stays physically indexed
+        return score[:, W:W + n], traceb[:, W:W + n], ov[:, W:W + n]
     score = np.asarray(score)[:, W:W + n]
     traceb = np.asarray(traceb)[:, W:W + n] - W
     traceb = np.where(traceb >= -1, traceb, -1)

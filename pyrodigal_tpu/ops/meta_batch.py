@@ -10,14 +10,22 @@ finished with the exact C tail.
 
 import ctypes
 import concurrent.futures
+import functools
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from .. import _native
 from ..sequence import Sequence
 from ..nodes import Nodes
 from ..genes import Genes
 from . import dp_jax, dp_pallas
+
+
+@jax.jit
+def _terminal_best(score, terminal):
+    return jnp.max(jnp.where(terminal, score, -1.0), axis=1)
 
 
 class BatchMetaRunner:
@@ -128,6 +136,7 @@ class BatchMetaRunner:
                 nodes.type[:nn], nodes.strand[:nn],
             )
             geometry["valid"][k, :nn] = 1
+            geometry["win_lo"][k, nn:] = np.arange(nn, n, dtype=np.int32)
             per_bin["cs"][k, :nn] = nodes.cscore[:nn] + nodes.sscore[:nn]
             per_bin["rscore"][k, :nn] = nodes.rscore[:nn]
             per_bin["uscore"][k, :nn] = nodes.uscore[:nn]
@@ -137,19 +146,16 @@ class BatchMetaRunner:
             st_wt[k] = self.bins[bin_id].training_info.start_weight
 
         score, traceb, ov = dp_pallas.dp_pallas_batched(
-            geometry, per_bin, st_wt, W=W,
+            geometry, per_bin, st_wt, W=W, return_device=True,
         )
 
-        out = []
-        for k, (_, bin_id, nodes) in enumerate(work):
-            nn = nodes.length
-            typ = nodes.type[:nn]
-            strand = nodes.strand[:nn]
-            terminal = ((strand == 1) & (typ == 3)) | ((strand == -1) & (typ != 3))
-            s = score[k, :nn]
-            best = float(s[terminal].max()) if terminal.any() else -1.0
-            out.append((best, (score[k, :nn], traceb[k, :nn], ov[k, :nn])))
-        return out
+        # terminal path score per item, reduced on device (pulled later in
+        # one batched transfer -- D2H round trips are expensive)
+        kind = 2 * (geometry["strand"] != 1) + (geometry["typ"] == 3)
+        terminal = (geometry["valid"] != 0) & ((kind == 1) | (kind == 2))
+        best = _terminal_best(score, jnp.asarray(terminal))
+        return {"score": score, "traceb": traceb, "ov": ov, "best": best,
+                "work": work, "W": W}
 
     def _finish(self, genes, seq, bin_id, nodes, dp_state):
         tinf = self.bins[bin_id].training_info
@@ -170,32 +176,87 @@ class BatchMetaRunner:
         return genes
 
     def find_genes_batch(self, sequences, num_seq_start=1):
-        """Call genes on a list of sequences; returns a list of `Genes`."""
-        # prepare + score all (contig, bin) items
+        """Call genes on a list of sequences; returns a list of `Genes`.
+
+        Contigs whose node count exceeds the kernel bucket fall back to the
+        sequential exact C meta path.
+        """
         contigs = []
         all_items = []
+        oversized = {}
         for ci, s in enumerate(sequences):
             seq = Sequence(s, mask=self.mask, mask_size=self.min_mask)
             contigs.append(seq)
-            for (b, scored, _base) in self._prepare_contig(seq):
+            items = self._prepare_contig(seq)
+            if any(sc.length > self.node_bucket for (_b, sc, _base) in items):
+                oversized[ci] = True
+                continue
+            for (b, scored, _base) in items:
                 all_items.append((ci, b, scored))
 
-        # sweep in fixed-size batches
-        results = []
+        # sweep in fixed-size batches (device-resident results)
+        launches = []
         for ofs in range(0, len(all_items), self.batch_size):
             chunk = all_items[ofs:ofs + self.batch_size]
-            results.extend(self._sweep(chunk))
+            res = self._sweep(chunk)
+            if res:
+                launches.append(res)
+
+        # single D2H pull of every item's terminal best score
+        if launches:
+            all_best = np.asarray(
+                jnp.concatenate([r["best"] for r in launches])
+            )
+        else:
+            all_best = np.zeros(0, np.float32)
 
         # pick each contig's best bin (first on ties, like the reference)
         best = {}
-        for (item, res) in zip(all_items, results):
-            ci, b, nodes = item
-            sc, state = res
-            if ci not in best or sc > best[ci][0]:
-                best[ci] = (sc, b, nodes, state)
+        pos = 0
+        for li, r in enumerate(launches):
+            for k, (ci, b, nodes) in enumerate(r["work"]):
+                sc = float(all_best[pos])
+                pos += 1
+                if ci not in best or sc > best[ci][0]:
+                    best[ci] = (sc, b, nodes, (li, k))
+
+        # gather the winners' DP rows in one device op + one D2H pull
+        winners = sorted(best.items())
+        if winners:
+            rows_s = jnp.stack([
+                launches[li]["score"][k] for _, (_, _, _, (li, k)) in winners
+            ])
+            rows_t = jnp.stack([
+                launches[li]["traceb"][k] for _, (_, _, _, (li, k)) in winners
+            ])
+            rows_o = jnp.stack([
+                launches[li]["ov"][k] for _, (_, _, _, (li, k)) in winners
+            ])
+            rows_s = np.asarray(rows_s)
+            rows_t = np.asarray(rows_t)
+            rows_o = np.asarray(rows_o)
+            for w, (ci, (sc, b, nodes, _lk)) in enumerate(winners):
+                W = launches[0]["W"]
+                nn = nodes.length
+                tb = rows_t[w, :nn] - W
+                tb = np.where(tb >= -1, tb, -1)
+                best[ci] = (sc, b, nodes,
+                            (rows_s[w, :nn], tb, rows_o[w, :nn]))
 
         out = []
         for ci, seq in enumerate(contigs):
+            if ci in oversized:
+                from ..gene_finder import GeneFinder
+                gf = GeneFinder(
+                    meta=True, metagenomic_bins=self.bins,
+                    closed=self.closed, mask=self.mask,
+                    min_mask=self.min_mask, min_gene=self.min_gene,
+                    min_edge_gene=self.min_edge_gene,
+                    max_overlap=self.max_overlap,
+                )
+                gf._num_seq = num_seq_start + ci
+                out.append(gf.find_genes(str(seq)))
+                continue
             genes = Genes()
             genes._num_seq = num_seq_start + ci
             genes.meta = True
