@@ -505,10 +505,10 @@ def _dp_kernel_b(  # noqa: C901
     tsv0_ref, tsv1_ref, tsv2_ref,
     tndx0_ref, tndx1_ref, tndx2_ref,
     tok0_ref, tok1_ref, tok2_ref,
-    stwt_ref, nchunk_ref,
+    stwt_ref,
     _i0, _i1, _i2, _i3,
     score_ref, traceb_ref, ovmark_ref, tbndx_ref,
-    *, W, NP, B,
+    *, W, NP, B, MAX_CHUNKS,
 ):
     """Like _dp_kernel but every per-i scalar is a (B, 1) vector, so one
     launch sweeps a heterogeneous batch of (contig, bin) work items."""
@@ -539,8 +539,6 @@ def _dp_kernel_b(  # noqa: C901
         bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
         return rval + jnp.where(far, -0.15 * st_wt,
                                 jnp.where(operon, bonus, 0.0))
-
-    max_chunks = nchunk_ref[0, 0]
 
     def body(i, carry):
         ip = i + W
@@ -708,14 +706,15 @@ def _dp_kernel_b(  # noqa: C901
             best = jnp.where(upd, cmaxv, best)
             return best, bestj, bestf, bestn
 
-        init = (
+        carry4 = (
             jnp.full((B,), jnp.float32(NEGF), jnp.float32),
             jnp.full((B,), -1, jnp.int32),
             jnp.full((B,), -1, jnp.int32),
             jnp.full((B,), 0, jnp.int32),
         )
-        best, bestj, bestf, bestn = jax.lax.fori_loop(
-            0, max_chunks, chunk_body, init)
+        for _c in range(MAX_CHUNKS):
+            carry4 = chunk_body(_c, carry4)
+        best, bestj, bestf, bestn = carry4
 
         base = pl.multiple_of((ip // 128) * 128, 128)
         selc = l128 == (ip - base)
@@ -736,9 +735,10 @@ def _dp_kernel_b(  # noqa: C901
     jax.lax.fori_loop(0, NP - W - 128, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "NP", "B", "interpret"))
-def _run_kernel_b(args, W, NP, B, interpret=False):
-    kernel = functools.partial(_dp_kernel_b, W=W, NP=NP, B=B)
+@functools.partial(jax.jit, static_argnames=("W", "NP", "B", "MAX_CHUNKS", "interpret"))
+def _run_kernel_b(args, W, NP, B, MAX_CHUNKS, interpret=False):
+    kernel = functools.partial(_dp_kernel_b, W=W, NP=NP, B=B,
+                               MAX_CHUNKS=MAX_CHUNKS)
     n_in = len(args)
     out_shapes = [
         jax.ShapeDtypeStruct((B, NP), jnp.float32),
@@ -845,9 +845,9 @@ def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
         args.append(jnp.asarray(pad2(t_ok[:, k, :].astype(np.int32))))
     args.append(jnp.asarray(np.tile(st_wt.astype(np.float32)[:, None],
                                     (1, NP))))
-    args.append(jnp.full((1, 1), max_chunks, jnp.int32))
 
-    score, traceb, ov, _ = _run_kernel_b(tuple(args), W, NP, B, interpret)
+    score, traceb, ov, _ = _run_kernel_b(tuple(args), W, NP, B, max_chunks,
+                                         interpret)
     if return_device:
         # logical views on device; traceback stays physically indexed
         return score[:, W:W + n], traceb[:, W:W + n], ov[:, W:W + n]

@@ -1,0 +1,103 @@
+"""Device-mesh tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from pyrodigal_tpu.parallel import (  # noqa: E402
+    make_mesh, distributed_training_step, hexamer_background_counts,
+    sharded_dp,
+)
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
+def test_hexamer_counts_psum():
+    """Count tables from sharded contigs must equal the serial tally."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    G, L = n_dev * 2, 300
+    rng = np.random.default_rng(1)
+    digits = rng.integers(0, 4, size=(G, L)).astype(np.uint8)
+    comp = (digits ^ 3)[:, ::-1].copy()
+
+    counts = np.asarray(distributed_training_step(
+        mesh, jnp.asarray(digits), jnp.asarray(comp)))
+
+    serial = np.zeros(4096, np.int64)
+    for g in range(G):
+        for strandarr in (digits[g], comp[g]):
+            for i in range(L - 5):
+                idx = 0
+                for j in range(6):
+                    idx |= (int(strandarr[i + j]) & 3) << (2 * j)
+                serial[idx] += 1
+    assert counts.sum() == serial.sum() == G * 2 * (L - 5)
+    assert np.array_equal(counts, serial)
+
+
+def test_sharded_dp_matches_single_device(data):
+    """The mesh-sharded DP must equal the single-device scan result."""
+    import warnings
+    from pyrodigal_tpu.fasta import parse
+    from pyrodigal_tpu import GeneFinder, Sequence, Nodes
+    from pyrodigal_tpu.ops import dp_jax
+
+    record = list(parse(data("SRR492066.fna.gz")))[0]
+    p = GeneFinder(meta=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tinf = p.train(record.seq)
+
+    seq = Sequence(record.seq[:15000])
+    nodes = Nodes()
+    nodes.extract(seq, translation_table=11)
+    nodes.sort()
+    nodes.reset_scores()
+    nodes.score_nodes(seq, tinf)
+    nodes.record_overlapping_starts(tinf, 1, 60)
+    n = nodes.length
+
+    mesh = make_mesh()
+    G = mesh.devices.size
+    W = 256
+    win = dp_jax.window_starts(
+        nodes.ndx[:n].astype(np.int64), nodes.stop_val[:n].astype(np.int64),
+        nodes.type[:n], nodes.strand[:n],
+    )
+    geometry = {
+        "ndx": np.tile(nodes.ndx[:n].astype(np.int32), (G, 1)),
+        "stop_val": np.tile(nodes.stop_val[:n].astype(np.int32), (G, 1)),
+        "typ": np.tile(nodes.type[:n].astype(np.int32), (G, 1)),
+        "strand": np.tile(nodes.strand[:n].astype(np.int32), (G, 1)),
+        "win_lo": np.tile(win.astype(np.int32), (G, 1)),
+        "valid": np.ones((G, n), bool),
+    }
+    per_bin = {
+        "cs": np.tile((nodes.cscore[:n] + nodes.sscore[:n]).astype(np.float32), (G, 1)),
+        "rscore": np.tile(nodes.rscore[:n].astype(np.float32), (G, 1)),
+        "uscore": np.tile(nodes.uscore[:n].astype(np.float32), (G, 1)),
+        "star_ptr": np.tile(
+            nodes.star_ptr[:n * 3].reshape(n, 3).astype(np.int32), (G, 1, 1)),
+    }
+    geometry = {k: jnp.asarray(v) for k, v in geometry.items()}
+    per_bin = {k: jnp.asarray(v) for k, v in per_bin.items()}
+    st_wt = jnp.full((G,), tinf.start_weight, jnp.float32)
+
+    score, traceb, ov = sharded_dp(mesh, geometry, per_bin, st_wt, W)
+    score = np.asarray(score)
+
+    ref_score, _, _ = dp_jax.dp_scores(
+        geometry["ndx"][0], geometry["stop_val"][0], geometry["typ"][0],
+        geometry["strand"][0], per_bin["cs"][0], per_bin["rscore"][0],
+        per_bin["uscore"][0], per_bin["star_ptr"][0], geometry["win_lo"][0],
+        geometry["valid"][0], jnp.float32(tinf.start_weight), W=W,
+    )
+    ref_score = np.asarray(ref_score)
+    for g in range(G):
+        assert np.array_equal(score[g], ref_score)
