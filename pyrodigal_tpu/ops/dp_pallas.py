@@ -712,8 +712,12 @@ def _dp_kernel_b(  # noqa: C901
             jnp.full((B,), -1, jnp.int32),
             jnp.full((B,), 0, jnp.int32),
         )
-        for _c in range(MAX_CHUNKS):
-            carry4 = chunk_body(_c, carry4)
+        # data-dependent trip count: almost every i needs a single chunk
+        # (the giant-ORF window extension is rare), so the loop bound is
+        # the batch-wide max — clamped to the compile-time budget.
+        ext = jnp.max(jnp.where(i_valid != 0, ip - win_lo, 1))
+        n_chunks = jnp.clip((ext + W - 1) // W, 1, MAX_CHUNKS)
+        carry4 = jax.lax.fori_loop(0, n_chunks, chunk_body, carry4)
         best, bestj, bestf, bestn = carry4
 
         base = pl.multiple_of((ip // 128) * 128, 128)
@@ -775,14 +779,47 @@ def _run_kernel_b(args, W, NP, B, MAX_CHUNKS, interpret=False):
     )(*args, init_score, init_tb, init_ov, init_tn)
 
 
-def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
-                      return_device=False):
-    """Run the batched Pallas DP over heterogeneous (contig, bin) items.
+# Packed-transfer entry point.  The axon/remote-TPU tunnel pays a round
+# trip per H2D array, so the 29 per-launch operands are packed on the host
+# into ONE int32 and ONE float32 stack, moved in two transfers, and
+# unpacked on-device inside the jit (cheap HBM copies).  The chunk-loop
+# trip count is a fixed compile-time constant so one compilation serves
+# every launch.
+N_INT, N_FLT = 19, 10
+FIXED_CHUNKS = 2
 
-    geometry / per_bin: dicts of (B, n) numpy arrays (geometry may differ
-    per element); star_ptr is (B, n, 3).  Returns (score, traceb, ov_mark)
-    shaped (B, n).
+
+@functools.partial(jax.jit,
+                   static_argnames=("W", "NP", "B", "MAX_CHUNKS", "interpret"))
+def _run_kernel_packed(ints, flts, W, NP, B, MAX_CHUNKS, interpret=False):
+    """ints: (19, B, NP) int32; flts: (10, B, NP) float32.
+
+    Returns (score, traceb, ovmark) over the full padded axis plus the
+    per-item best terminal path score, all device-resident.
     """
+    args = (
+        ints[0], ints[1], ints[2], ints[3], ints[4], ints[5], ints[6],
+        flts[0], flts[1], flts[2],
+        flts[3], flts[4], flts[5],          # opv1 x3
+        ints[7], ints[8], ints[9],          # opv1ok x3
+        flts[6], flts[7], flts[8],          # val3 x3
+        ints[10], ints[11], ints[12],       # t_sv x3
+        ints[13], ints[14], ints[15],       # t_ndx x3
+        ints[16], ints[17], ints[18],       # t_ok x3
+        flts[9],                            # st_wt
+    )
+    score, traceb, ov, _ = _run_kernel_b(args, W, NP, B, MAX_CHUNKS,
+                                         interpret)
+    # best terminal path score per item: max over valid 3'fwd / 5'rev nodes
+    kind, valid = ints[2], ints[6]
+    terminal = (valid != 0) & ((kind == 1) | (kind == 2))
+    best = jnp.max(jnp.where(terminal, score, -1.0), axis=1)
+    return score, traceb, ov, best
+
+
+def pack_batch(geometry, per_bin, st_wt, W=1024):
+    """Pack one batch's operands into the (19,B,NP) int / (10,B,NP) float
+    host stacks consumed by `_run_kernel_packed`."""
     ndx = geometry["ndx"]
     B, n = ndx.shape
     NP = W + int(np.ceil(n / 128) * 128) + 128
@@ -791,11 +828,6 @@ def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
             + (geometry["typ"] == STOP)).astype(np.int32)
     frame = (ndx % 3).astype(np.int32)
 
-    def pad2(a, fill=0):
-        a = np.pad(a, ((0, 0), (0, NP - W - n)), constant_values=fill)
-        return _pad(a, W, value=fill)
-
-    valid = pad2(geometry["valid"].astype(np.int32))
     tabs = [
         precompute_tables_v2(
             ndx[b].astype(np.int64), geometry["stop_val"][b].astype(np.int64),
@@ -816,38 +848,56 @@ def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
 
     span = np.arange(n)[None, :] - geometry["win_lo"]
     span = np.where(geometry["valid"] != 0, span, 0)
-    ext = span.max()
-    max_chunks = int(np.ceil(max(int(ext), 1) / W))
+    if int(span.max()) > FIXED_CHUNKS * W:
+        raise ValueError(
+            f"window extension {int(span.max())} exceeds the fixed "
+            f"{FIXED_CHUNKS}-chunk kernel budget (W={W})"
+        )
 
-    args = [
-        jnp.asarray(pad2(ndx.astype(np.int32))),
-        jnp.asarray(pad2(geometry["stop_val"].astype(np.int32))),
-        jnp.asarray(pad2(kind)),
-        jnp.asarray(pad2(frame)),
-        jnp.asarray(pad2(geometry["strand"].astype(np.int32))),
-        jnp.asarray(pad2(geometry["win_lo"].astype(np.int32))),
-        jnp.asarray(valid),
-        jnp.asarray(pad2(per_bin["cs"].astype(np.float32))),
-        jnp.asarray(pad2(per_bin["rscore"].astype(np.float32))),
-        jnp.asarray(pad2(per_bin["uscore"].astype(np.float32))),
-    ]
-    for k in range(3):
-        args.append(jnp.asarray(pad2(opv1[:, k, :])))
-    for k in range(3):
-        args.append(jnp.asarray(pad2(opv1ok[:, k, :].astype(np.int32))))
-    for k in range(3):
-        args.append(jnp.asarray(pad2(val3[:, k, :])))
-    for k in range(3):
-        args.append(jnp.asarray(pad2(t_sv[:, k, :].astype(np.int32))))
-    for k in range(3):
-        args.append(jnp.asarray(pad2(t_ndx[:, k, :].astype(np.int32))))
-    for k in range(3):
-        args.append(jnp.asarray(pad2(t_ok[:, k, :].astype(np.int32))))
-    args.append(jnp.asarray(np.tile(st_wt.astype(np.float32)[:, None],
-                                    (1, NP))))
+    ints = np.zeros((N_INT, B, NP), np.int32)
+    flts = np.zeros((N_FLT, B, NP), np.float32)
 
-    score, traceb, ov, _ = _run_kernel_b(tuple(args), W, NP, B, max_chunks,
-                                         interpret)
+    def put(dst, k, a, fill=0):
+        if fill:
+            dst[k, :, :] = fill
+        dst[k, :, W:W + n] = a
+
+    put(ints, 0, ndx.astype(np.int32))
+    put(ints, 1, geometry["stop_val"].astype(np.int32))
+    put(ints, 2, kind)
+    put(ints, 3, frame)
+    put(ints, 4, geometry["strand"].astype(np.int32))
+    put(ints, 5, geometry["win_lo"].astype(np.int32))
+    put(ints, 6, geometry["valid"].astype(np.int32))
+    for k in range(3):
+        put(ints, 7 + k, opv1ok[:, k, :].astype(np.int32))
+        put(ints, 10 + k, t_sv[:, k, :].astype(np.int32))
+        put(ints, 13 + k, t_ndx[:, k, :].astype(np.int32))
+        put(ints, 16 + k, t_ok[:, k, :].astype(np.int32))
+    put(flts, 0, per_bin["cs"].astype(np.float32))
+    put(flts, 1, per_bin["rscore"].astype(np.float32))
+    put(flts, 2, per_bin["uscore"].astype(np.float32))
+    for k in range(3):
+        put(flts, 3 + k, opv1[:, k, :])
+        put(flts, 6 + k, val3[:, k, :])
+    flts[9, :, :] = st_wt.astype(np.float32)[:, None]
+    return ints, flts, NP
+
+
+def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
+                      return_device=False):
+    """Run the batched Pallas DP over heterogeneous (contig, bin) items.
+
+    geometry / per_bin: dicts of (B, n) numpy arrays (geometry may differ
+    per element); star_ptr is (B, n, 3).  Returns (score, traceb, ov_mark)
+    shaped (B, n).
+    """
+    B, n = geometry["ndx"].shape
+    ints, flts, NP = pack_batch(geometry, per_bin, st_wt, W)
+    score, traceb, ov, _best = _run_kernel_packed(
+        jnp.asarray(ints), jnp.asarray(flts), W, NP, B, FIXED_CHUNKS,
+        interpret,
+    )
     if return_device:
         # logical views on device; traceback stays physically indexed
         return score[:, W:W + n], traceb[:, W:W + n], ov[:, W:W + n]

@@ -34,7 +34,7 @@ class BatchMetaRunner:
     def __init__(self, metagenomic_bins, *, closed=False, min_gene=90,
                  min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
                  node_bucket=3072, batch_size=32, scoring_threads=8,
-                 window=1024):
+                 window=1024, interpret=False):
         self.bins = metagenomic_bins
         self.closed = closed
         self.min_gene = min_gene
@@ -45,6 +45,7 @@ class BatchMetaRunner:
         self.node_bucket = node_bucket
         self.batch_size = batch_size
         self.window = window
+        self.interpret = interpret
         self.pool = concurrent.futures.ThreadPoolExecutor(scoring_threads)
 
     # -- per-contig preparation (host, C engine) ---------------------------
@@ -76,14 +77,27 @@ class BatchMetaRunner:
         return nodes
 
     def _prepare_contig(self, seq):
-        """All work items for one contig: [(bin_id, tt, base_nodes, scored)]."""
+        """All work items for one contig: [(bin_id, scored_nodes, win_lo)].
+
+        `win_lo` (the per-node DP window start, incl. the giant-ORF
+        extension) depends only on the node geometry, so it is computed
+        once per translation table and shared across bins.
+        """
         cand = self._candidate_bins(seq)
         items = []
         by_tt = {}
+        winlo_tt = {}
         for b in cand:
             tt = self.bins[b].training_info.translation_table
             if tt not in by_tt:
-                by_tt[tt] = self._extract(seq, tt)
+                nodes = self._extract(seq, tt)
+                by_tt[tt] = nodes
+                nn = nodes.length
+                winlo_tt[tt] = dp_jax.window_starts(
+                    nodes.ndx[:nn].astype(np.int64),
+                    nodes.stop_val[:nn].astype(np.int64),
+                    nodes.type[:nn], nodes.strand[:nn],
+                ).astype(np.int32)
         futures = {
             b: self.pool.submit(
                 self._score_item, seq,
@@ -92,15 +106,16 @@ class BatchMetaRunner:
             for b in cand
         }
         for b in cand:
-            items.append((b, futures[b].result(),
-                          by_tt[self.bins[b].training_info.translation_table]))
+            tt = self.bins[b].training_info.translation_table
+            items.append((b, futures[b].result(), winlo_tt[tt]))
         return items
 
     # -- the batched sweep -------------------------------------------------
 
     def _sweep(self, work):
-        """work: list of (contig_idx, bin_id, scored_nodes).  Runs the
-        batched DP and returns per-item (terminal_score, dp_state)."""
+        """work: list of (contig_idx, bin_id, scored_nodes, win_lo).  Packs
+        the batch into two host stacks, runs the fused DP + terminal-best
+        jit in a single dispatch, and leaves results device-resident."""
         if not work:
             return []
         B = self.batch_size
@@ -123,18 +138,14 @@ class BatchMetaRunner:
         }
         st_wt = np.full(B, 4.35, np.float32)
 
-        for k, (_, bin_id, nodes) in enumerate(work):
+        for k, (_, bin_id, nodes, win_lo) in enumerate(work):
             nn = nodes.length
             assert nn <= n, (nn, n)
             geometry["ndx"][k, :nn] = nodes.ndx[:nn]
             geometry["stop_val"][k, :nn] = nodes.stop_val[:nn]
             geometry["typ"][k, :nn] = nodes.type[:nn]
             geometry["strand"][k, :nn] = nodes.strand[:nn]
-            geometry["win_lo"][k, :nn] = dp_jax.window_starts(
-                nodes.ndx[:nn].astype(np.int64),
-                nodes.stop_val[:nn].astype(np.int64),
-                nodes.type[:nn], nodes.strand[:nn],
-            )
+            geometry["win_lo"][k, :nn] = win_lo
             geometry["valid"][k, :nn] = 1
             geometry["win_lo"][k, nn:] = np.arange(nn, n, dtype=np.int32)
             per_bin["cs"][k, :nn] = nodes.cscore[:nn] + nodes.sscore[:nn]
@@ -145,15 +156,11 @@ class BatchMetaRunner:
             )
             st_wt[k] = self.bins[bin_id].training_info.start_weight
 
-        score, traceb, ov = dp_pallas.dp_pallas_batched(
-            geometry, per_bin, st_wt, W=W, return_device=True,
+        ints, flts, NP = dp_pallas.pack_batch(geometry, per_bin, st_wt, W)
+        score, traceb, ov, best = dp_pallas._run_kernel_packed(
+            jnp.asarray(ints), jnp.asarray(flts), W, NP, B,
+            dp_pallas.FIXED_CHUNKS, self.interpret,
         )
-
-        # terminal path score per item, reduced on device (pulled later in
-        # one batched transfer -- D2H round trips are expensive)
-        kind = 2 * (geometry["strand"] != 1) + (geometry["typ"] == 3)
-        terminal = (geometry["valid"] != 0) & ((kind == 1) | (kind == 2))
-        best = _terminal_best(score, jnp.asarray(terminal))
         return {"score": score, "traceb": traceb, "ov": ov, "best": best,
                 "work": work, "W": W}
 
@@ -188,11 +195,17 @@ class BatchMetaRunner:
             seq = Sequence(s, mask=self.mask, mask_size=self.min_mask)
             contigs.append(seq)
             items = self._prepare_contig(seq)
-            if any(sc.length > self.node_bucket for (_b, sc, _base) in items):
+            if any(
+                sc.length > self.node_bucket
+                or (sc.length and int(
+                    (np.arange(sc.length) - wl).max()
+                ) > dp_pallas.FIXED_CHUNKS * self.window)
+                for (_b, sc, wl) in items
+            ):
                 oversized[ci] = True
                 continue
-            for (b, scored, _base) in items:
-                all_items.append((ci, b, scored))
+            for (b, scored, win_lo) in items:
+                all_items.append((ci, b, scored, win_lo))
 
         # sweep in fixed-size batches (device-resident results)
         launches = []
@@ -214,7 +227,7 @@ class BatchMetaRunner:
         best = {}
         pos = 0
         for li, r in enumerate(launches):
-            for k, (ci, b, nodes) in enumerate(r["work"]):
+            for k, (ci, b, nodes, _wl) in enumerate(r["work"]):
                 sc = float(all_best[pos])
                 pos += 1
                 if ci not in best or sc > best[ci][0]:
@@ -236,12 +249,15 @@ class BatchMetaRunner:
             rows_t = np.asarray(rows_t)
             rows_o = np.asarray(rows_o)
             for w, (ci, (sc, b, nodes, _lk)) in enumerate(winners):
+                # kernel outputs span the full padded axis: logical node j
+                # lives at physical column W + j, and traceb VALUES are
+                # physical too — shift both back to logical indices.
                 W = launches[0]["W"]
                 nn = nodes.length
-                tb = rows_t[w, :nn] - W
+                tb = rows_t[w, W:W + nn] - W
                 tb = np.where(tb >= -1, tb, -1)
                 best[ci] = (sc, b, nodes,
-                            (rows_s[w, :nn], tb, rows_o[w, :nn]))
+                            (rows_s[w, W:W + nn], tb, rows_o[w, W:W + nn]))
 
         out = []
         for ci, seq in enumerate(contigs):
