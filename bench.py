@@ -59,9 +59,7 @@ def main():
     contigs = [genome[i:i + CHUNK] for i in range(0, len(genome), CHUNK)]
     contigs = [c for c in contigs if len(c) >= 20_000]
 
-    runner = BatchMetaRunner(
-        METAGENOMIC_BINS, node_bucket=3072, batch_size=16, window=1024,
-    )
+    runner = BatchMetaRunner(METAGENOMIC_BINS)
 
     # warmup (compile)
     t0 = time.time()

@@ -506,12 +506,17 @@ def _dp_kernel_b(  # noqa: C901
     tndx0_ref, tndx1_ref, tndx2_ref,
     tok0_ref, tok1_ref, tok2_ref,
     stwt_ref,
-    _i0, _i1, _i2, _i3,
     score_ref, traceb_ref, ovmark_ref, tbndx_ref,
     *, W, NP, B, MAX_CHUNKS,
 ):
     """Like _dp_kernel but every per-i scalar is a (B, 1) vector, so one
-    launch sweeps a heterogeneous batch of (contig, bin) work items."""
+    launch sweeps a heterogeneous batch of (contig, bin) work items.
+    Outputs are self-initialized so the kernel can run as one block of a
+    larger grid (node scores start at 0, reference: lib.pyx:2496)."""
+    score_ref[...] = jnp.zeros((B, NP), jnp.float32)
+    traceb_ref[...] = jnp.full((B, NP), -1, jnp.int32)
+    ovmark_ref[...] = jnp.full((B, NP), -1, jnp.int32)
+    tbndx_ref[...] = jnp.zeros((B, NP), jnp.int32)
     WP = W + 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, WP), 1)
     l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
@@ -739,170 +744,144 @@ def _dp_kernel_b(  # noqa: C901
     jax.lax.fori_loop(0, NP - W - 128, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "NP", "B", "MAX_CHUNKS", "interpret"))
-def _run_kernel_b(args, W, NP, B, MAX_CHUNKS, interpret=False):
-    kernel = functools.partial(_dp_kernel_b, W=W, NP=NP, B=B,
+def _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
+    """Grid-blocked launch: operands are (BT, NP); the grid walks blocks of
+    BLK items, each DP'd fully in VMEM while Pallas double-buffers the next
+    block's DMA.  One launch therefore sweeps BT = many-blocks work items
+    with a single dispatch."""
+    kernel = functools.partial(_dp_kernel_b, W=W, NP=NP, B=BLK,
                                MAX_CHUNKS=MAX_CHUNKS)
-    n_in = len(args)
     out_shapes = [
-        jax.ShapeDtypeStruct((B, NP), jnp.float32),
-        jax.ShapeDtypeStruct((B, NP), jnp.int32),
-        jax.ShapeDtypeStruct((B, NP), jnp.int32),
-        jax.ShapeDtypeStruct((B, NP), jnp.int32),
+        jax.ShapeDtypeStruct((BT, NP), jnp.float32),
+        jax.ShapeDtypeStruct((BT, NP), jnp.int32),
+        jax.ShapeDtypeStruct((BT, NP), jnp.int32),
+        jax.ShapeDtypeStruct((BT, NP), jnp.int32),
     ]
-    init_shapes = [(B, NP)] * 4
     grid_spec = pl.GridSpec(
-        grid=(1,),
-        in_specs=(
-            [pl.BlockSpec(a.shape, lambda i: tuple([0] * a.ndim),
-                          memory_space=pltpu.VMEM)
-             for a in args]
-            + [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
-               for s in init_shapes]
-        ),
+        grid=(BT // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, a.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+            for a in args
+        ],
         out_specs=[
-            pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for s in out_shapes
+            pl.BlockSpec((BLK, NP), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in out_shapes
         ],
     )
-    init_score = jnp.zeros((B, NP), jnp.float32)
-    init_tb = jnp.full((B, NP), -1, jnp.int32)
-    init_ov = jnp.full((B, NP), -1, jnp.int32)
-    init_tn = jnp.zeros((B, NP), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases={n_in + 0: 0, n_in + 1: 1, n_in + 2: 2,
-                              n_in + 3: 3},
         interpret=interpret,
-    )(*args, init_score, init_tb, init_ov, init_tn)
+    )(*args)
 
 
-# Packed-transfer entry point.  The axon/remote-TPU tunnel pays a round
-# trip per H2D array, so the 29 per-launch operands are packed on the host
-# into ONE int32 and ONE float32 stack, moved in two transfers, and
-# unpacked on-device inside the jit (cheap HBM copies).  The chunk-loop
-# trip count is a fixed compile-time constant so one compilation serves
-# every launch.
-N_INT, N_FLT = 19, 10
+# --------------------------------------------------------------------------
+# raw-transfer launch: ship only primary inputs, derive everything on device
+# --------------------------------------------------------------------------
+#
+# The axon/remote-TPU tunnel moves ~125 MB/s and pays a round trip per
+# dispatch, so the launch path is built around transfer volume, not FLOPs
+# (the DP kernel itself is ~0.3 ms):
+#   * only the PRIMARY per-item inputs cross the link — per-bin scores
+#     (3 x f32) and star pointers (3 x i16) per node — plus each distinct
+#     (contig, translation-table) geometry ONCE (6 x i32 per node, shared
+#     by the ~13 bins of a contig);
+#   * the 18 derived star-pointer tables (precompute_tables_v2) and all
+#     padding are computed on device inside the jit;
+#   * the kernel runs as a grid over blocks of BLK items, so one dispatch
+#     sweeps hundreds of items;
+#   * all shapes are fixed (G_MAX geometries, BT items) -> one compilation.
 FIXED_CHUNKS = 2
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("W", "NP", "B", "MAX_CHUNKS", "interpret"))
-def _run_kernel_packed(ints, flts, W, NP, B, MAX_CHUNKS, interpret=False):
-    """ints: (19, B, NP) int32; flts: (10, B, NP) float32.
-
-    Returns (score, traceb, ovmark) over the full padded axis plus the
-    per-item best terminal path score, all device-resident.
-    """
-    args = (
-        ints[0], ints[1], ints[2], ints[3], ints[4], ints[5], ints[6],
-        flts[0], flts[1], flts[2],
-        flts[3], flts[4], flts[5],          # opv1 x3
-        ints[7], ints[8], ints[9],          # opv1ok x3
-        flts[6], flts[7], flts[8],          # val3 x3
-        ints[10], ints[11], ints[12],       # t_sv x3
-        ints[13], ints[14], ints[15],       # t_ndx x3
-        ints[16], ints[17], ints[18],       # t_ok x3
-        flts[9],                            # st_wt
+def _igm_same_jnp(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
+    """Batched f32 intergenic modifier (reference: _connection.h:52-78)."""
+    dist = jnp.abs(ndx1 - ndx2)
+    overlap = ndx1 + 2 * strand1 >= ndx2
+    adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
+    fwd = strand1 == 1
+    r_n = jnp.where(fwd, rsc2, rsc1)
+    u_n = jnp.where(fwd, usc2, usc1)
+    rval = jnp.where(
+        adjacent,
+        jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
+        0.0,
     )
-    score, traceb, ov, _ = _run_kernel_b(args, W, NP, B, MAX_CHUNKS,
+    far = dist > 3 * OPER_DIST
+    operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
+    bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
+    return (rval + jnp.where(far, -0.15 * st_wt,
+                             jnp.where(operon, bonus, 0.0))
+            ).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "NP", "BT", "BLK", "MAX_CHUNKS", "interpret"))
+def _launch(geom, scores, sp, gidx, st_wt, W, NP, BT, BLK, MAX_CHUNKS,
+            interpret=False):
+    """geom: (6, G, n) int32 [ndx, stop_val, typ, strand, win_lo, valid];
+    scores: (3, BT, n) f32 [cs, rscore, uscore]; sp: (3, BT, n) int16
+    star pointers; gidx: (BT,) geometry index per item; st_wt: (BT,) f32.
+
+    Returns (score, traceb, ovmark) over the full padded axis (physical
+    indices) and the per-item best terminal path score, device-resident.
+    """
+    n = geom.shape[2]
+    g = jnp.take(geom, gidx, axis=1)                  # (6, BT, n)
+    ndx, stop_val, typ, strand, win_lo, valid = (g[k] for k in range(6))
+    kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
+    frame = ndx % 3
+    cs, rsc, usc = scores[0], scores[1], scores[2]
+    stw = st_wt[:, None]
+
+    def gat(a, idx):
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    opv1, opv1ok, val3, t_sv, t_ndx, t_ok = [], [], [], [], [], []
+    for k in range(3):
+        spk = sp[k].astype(jnp.int32)
+        okm = spk != -1
+        spc = jnp.clip(spk, 0, n - 1)
+        g_ndx = gat(ndx, spc)
+        g_cs = gat(cs, spc)
+        g_rs = gat(rsc, spc)
+        g_us = gat(usc, spc)
+        opv1.append(g_cs + _igm_same_jnp(
+            ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw))
+        opv1ok.append(okm.astype(jnp.int32))
+        val3.append(g_cs + _igm_same_jnp(
+            g_ndx, gat(strand, spc), g_rs, g_us, ndx, rsc, usc, stw))
+        t_sv.append(jnp.where(okm, gat(stop_val, spc), 0))
+        t_ndx.append(jnp.where(okm, g_ndx, 0))
+        t_ok.append(okm.astype(jnp.int32))
+
+    def pad(a, dtype=None):
+        a = jnp.pad(a, ((0, 0), (W, NP - W - n)))
+        return a if dtype is None else a.astype(dtype)
+
+    args = tuple(
+        [pad(a) for a in (ndx, stop_val, kind, frame, strand, win_lo, valid)]
+        + [pad(a) for a in (cs, rsc, usc)]
+        + [pad(a) for a in opv1] + [pad(a) for a in opv1ok]
+        + [pad(a) for a in val3] + [pad(a) for a in t_sv]
+        + [pad(a) for a in t_ndx] + [pad(a) for a in t_ok]
+        + [jnp.broadcast_to(st_wt[:, None], (BT, 128))]
+    )
+    score, traceb, ov, _ = _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS,
                                          interpret)
     # best terminal path score per item: max over valid 3'fwd / 5'rev nodes
-    kind, valid = ints[2], ints[6]
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))
+    terminal = jnp.pad(terminal, ((0, 0), (W, NP - W - n)))
     best = jnp.max(jnp.where(terminal, score, -1.0), axis=1)
     return score, traceb, ov, best
 
 
-def pack_batch(geometry, per_bin, st_wt, W=1024):
-    """Pack one batch's operands into the (19,B,NP) int / (10,B,NP) float
-    host stacks consumed by `_run_kernel_packed`."""
-    ndx = geometry["ndx"]
-    B, n = ndx.shape
-    NP = W + int(np.ceil(n / 128) * 128) + 128
-
-    kind = (2 * (geometry["strand"] != 1)
-            + (geometry["typ"] == STOP)).astype(np.int32)
-    frame = (ndx % 3).astype(np.int32)
-
-    tabs = [
-        precompute_tables_v2(
-            ndx[b].astype(np.int64), geometry["stop_val"][b].astype(np.int64),
-            geometry["strand"][b].astype(np.int64),
-            per_bin["cs"][b].astype(np.float64),
-            per_bin["rscore"][b].astype(np.float64),
-            per_bin["uscore"][b].astype(np.float64),
-            per_bin["star_ptr"][b], float(st_wt[b]),
-        )
-        for b in range(B)
-    ]
-    opv1 = np.stack([t[0] for t in tabs])
-    opv1ok = np.stack([t[1] for t in tabs])
-    val3 = np.stack([t[2] for t in tabs])
-    t_sv = np.stack([t[3] for t in tabs])
-    t_ndx = np.stack([t[4] for t in tabs])
-    t_ok = np.stack([t[5] for t in tabs])
-
-    span = np.arange(n)[None, :] - geometry["win_lo"]
-    span = np.where(geometry["valid"] != 0, span, 0)
-    if int(span.max()) > FIXED_CHUNKS * W:
-        raise ValueError(
-            f"window extension {int(span.max())} exceeds the fixed "
-            f"{FIXED_CHUNKS}-chunk kernel budget (W={W})"
-        )
-
-    ints = np.zeros((N_INT, B, NP), np.int32)
-    flts = np.zeros((N_FLT, B, NP), np.float32)
-
-    def put(dst, k, a, fill=0):
-        if fill:
-            dst[k, :, :] = fill
-        dst[k, :, W:W + n] = a
-
-    put(ints, 0, ndx.astype(np.int32))
-    put(ints, 1, geometry["stop_val"].astype(np.int32))
-    put(ints, 2, kind)
-    put(ints, 3, frame)
-    put(ints, 4, geometry["strand"].astype(np.int32))
-    put(ints, 5, geometry["win_lo"].astype(np.int32))
-    put(ints, 6, geometry["valid"].astype(np.int32))
-    for k in range(3):
-        put(ints, 7 + k, opv1ok[:, k, :].astype(np.int32))
-        put(ints, 10 + k, t_sv[:, k, :].astype(np.int32))
-        put(ints, 13 + k, t_ndx[:, k, :].astype(np.int32))
-        put(ints, 16 + k, t_ok[:, k, :].astype(np.int32))
-    put(flts, 0, per_bin["cs"].astype(np.float32))
-    put(flts, 1, per_bin["rscore"].astype(np.float32))
-    put(flts, 2, per_bin["uscore"].astype(np.float32))
-    for k in range(3):
-        put(flts, 3 + k, opv1[:, k, :])
-        put(flts, 6 + k, val3[:, k, :])
-    flts[9, :, :] = st_wt.astype(np.float32)[:, None]
-    return ints, flts, NP
-
-
-def dp_pallas_batched(geometry, per_bin, st_wt, W=1024, interpret=False,
-                      return_device=False):
-    """Run the batched Pallas DP over heterogeneous (contig, bin) items.
-
-    geometry / per_bin: dicts of (B, n) numpy arrays (geometry may differ
-    per element); star_ptr is (B, n, 3).  Returns (score, traceb, ov_mark)
-    shaped (B, n).
-    """
-    B, n = geometry["ndx"].shape
-    ints, flts, NP = pack_batch(geometry, per_bin, st_wt, W)
-    score, traceb, ov, _best = _run_kernel_packed(
-        jnp.asarray(ints), jnp.asarray(flts), W, NP, B, FIXED_CHUNKS,
-        interpret,
-    )
-    if return_device:
-        # logical views on device; traceback stays physically indexed
-        return score[:, W:W + n], traceb[:, W:W + n], ov[:, W:W + n]
-    score = np.asarray(score)[:, W:W + n]
-    traceb = np.asarray(traceb)[:, W:W + n] - W
-    traceb = np.where(traceb >= -1, traceb, -1)
-    ov = np.asarray(ov)[:, W:W + n]
-    return score, traceb, ov
+@jax.jit
+def _gather_rows(score, traceb, ov, idx):
+    """Fixed-shape winner-row gather (idx padded to a constant length) so
+    repeated pulls never trigger a recompile."""
+    return score[idx], traceb[idx], ov[idx]

@@ -1,19 +1,20 @@
 """High-throughput meta mode: many contigs x bins in one Pallas launch.
 
-Work items (contig, bin) are gathered across a stream of contigs, padded to
-a fixed (B, N) shape (so a single kernel compilation serves the whole run,
-with the persistent compilation cache making it a one-time cost), scored on
-the host with the exact C engine in a thread pool (the C calls release the
-GIL), and swept by the batched VMEM-resident DP kernel.  Winning bins are
-finished with the exact C tail.
+Work items (contig, bin) are gathered across a stream of contigs and swept
+by the grid-blocked VMEM-resident DP kernel in launches of `batch_size`
+items.  The launch path is transfer-minimal (the device link is the
+bottleneck, not the DP): per item only the three per-bin score vectors and
+the star pointers cross the link, each distinct (contig, translation-table)
+geometry crosses ONCE, and every derived table is computed on device
+(dp_pallas._launch).  Host scoring runs in a thread pool on the exact C
+engine (the C calls release the GIL); winning bins are finished with the
+exact C tail.
 """
 
 import ctypes
 import concurrent.futures
-import functools
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .. import _native
@@ -23,18 +24,14 @@ from ..genes import Genes
 from . import dp_jax, dp_pallas
 
 
-@jax.jit
-def _terminal_best(score, terminal):
-    return jnp.max(jnp.where(terminal, score, -1.0), axis=1)
-
-
 class BatchMetaRunner:
     """Batched meta-mode gene calling over contig streams."""
 
     def __init__(self, metagenomic_bins, *, closed=False, min_gene=90,
                  min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
-                 node_bucket=3072, batch_size=32, scoring_threads=8,
-                 window=1024, interpret=False):
+                 node_bucket=3072, batch_size=128, block_size=8,
+                 max_geoms=16, scoring_threads=8, window=1024,
+                 interpret=False):
         self.bins = metagenomic_bins
         self.closed = closed
         self.min_gene = min_gene
@@ -43,7 +40,10 @@ class BatchMetaRunner:
         self.mask = mask
         self.min_mask = min_mask
         self.node_bucket = node_bucket
-        self.batch_size = batch_size
+        self.batch_size = (batch_size + block_size - 1) // block_size \
+            * block_size
+        self.block_size = block_size
+        self.max_geoms = max_geoms
         self.window = window
         self.interpret = interpret
         self.pool = concurrent.futures.ThreadPoolExecutor(scoring_threads)
@@ -77,27 +77,37 @@ class BatchMetaRunner:
         return nodes
 
     def _prepare_contig(self, seq):
-        """All work items for one contig: [(bin_id, scored_nodes, win_lo)].
+        """Work items and geometries for one contig.
 
-        `win_lo` (the per-node DP window start, incl. the giant-ORF
-        extension) depends only on the node geometry, so it is computed
-        once per translation table and shared across bins.
+        Returns (items, geoms): items = [(bin_id, scored_nodes, tt)],
+        geoms = {tt: geometry dict}.  Geometry (incl. the per-node DP
+        window start with the giant-ORF extension) depends only on the
+        node layout, so it is computed once per translation table and
+        shared across bins.
         """
         cand = self._candidate_bins(seq)
         items = []
+        geoms = {}
         by_tt = {}
-        winlo_tt = {}
         for b in cand:
             tt = self.bins[b].training_info.translation_table
             if tt not in by_tt:
                 nodes = self._extract(seq, tt)
                 by_tt[tt] = nodes
                 nn = nodes.length
-                winlo_tt[tt] = dp_jax.window_starts(
+                win_lo = dp_jax.window_starts(
                     nodes.ndx[:nn].astype(np.int64),
                     nodes.stop_val[:nn].astype(np.int64),
                     nodes.type[:nn], nodes.strand[:nn],
                 ).astype(np.int32)
+                geoms[tt] = {
+                    "ndx": nodes.ndx[:nn].astype(np.int32),
+                    "stop_val": nodes.stop_val[:nn].astype(np.int32),
+                    "typ": nodes.type[:nn].astype(np.int32),
+                    "strand": nodes.strand[:nn].astype(np.int32),
+                    "win_lo": win_lo,
+                    "nn": nn,
+                }
         futures = {
             b: self.pool.submit(
                 self._score_item, seq,
@@ -107,59 +117,59 @@ class BatchMetaRunner:
         }
         for b in cand:
             tt = self.bins[b].training_info.translation_table
-            items.append((b, futures[b].result(), winlo_tt[tt]))
-        return items
+            items.append((b, futures[b].result(), tt))
+        return items, geoms
 
     # -- the batched sweep -------------------------------------------------
 
-    def _sweep(self, work):
-        """work: list of (contig_idx, bin_id, scored_nodes, win_lo).  Packs
-        the batch into two host stacks, runs the fused DP + terminal-best
-        jit in a single dispatch, and leaves results device-resident."""
+    def _sweep(self, work, geoms):
+        """work: list of (contig_idx, bin_id, scored_nodes, geom_key);
+        geoms: {geom_key: geometry dict}.  Packs the primary inputs, runs
+        the fused on-device precompute + grid DP + terminal-best jit in a
+        single dispatch, and leaves results device-resident."""
         if not work:
-            return []
-        B = self.batch_size
+            return None
+        BT = self.batch_size
         n = self.node_bucket
         W = self.window
+        G = self.max_geoms
+        assert len(work) <= BT and len(geoms) <= G
 
-        geometry = {
-            "ndx": np.zeros((B, n), np.int32),
-            "stop_val": np.zeros((B, n), np.int32),
-            "typ": np.zeros((B, n), np.int32),
-            "strand": np.ones((B, n), np.int32),
-            "win_lo": np.zeros((B, n), np.int32),
-            "valid": np.zeros((B, n), np.int32),
-        }
-        per_bin = {
-            "cs": np.zeros((B, n), np.float32),
-            "rscore": np.zeros((B, n), np.float32),
-            "uscore": np.zeros((B, n), np.float32),
-            "star_ptr": np.full((B, n, 3), -1, np.int32),
-        }
-        st_wt = np.full(B, 4.35, np.float32)
+        geom = np.zeros((6, G, n), np.int32)
+        geom[3] = 1  # strand pad: 1
+        gmap = {}
+        for gi, (key, gd) in enumerate(geoms.items()):
+            gmap[key] = gi
+            nn = gd["nn"]
+            geom[0, gi, :nn] = gd["ndx"]
+            geom[1, gi, :nn] = gd["stop_val"]
+            geom[2, gi, :nn] = gd["typ"]
+            geom[3, gi, :nn] = gd["strand"]
+            geom[4, gi, :nn] = gd["win_lo"]
+            geom[4, gi, nn:] = np.arange(nn, n, dtype=np.int32)
+            geom[5, gi, :nn] = 1
 
-        for k, (_, bin_id, nodes, win_lo) in enumerate(work):
+        scores = np.zeros((3, BT, n), np.float32)
+        sp = np.full((3, BT, n), -1, np.int16)
+        gidx = np.zeros(BT, np.int32)
+        st_wt = np.full(BT, 4.35, np.float32)
+
+        for k, (_, bin_id, nodes, gkey) in enumerate(work):
             nn = nodes.length
             assert nn <= n, (nn, n)
-            geometry["ndx"][k, :nn] = nodes.ndx[:nn]
-            geometry["stop_val"][k, :nn] = nodes.stop_val[:nn]
-            geometry["typ"][k, :nn] = nodes.type[:nn]
-            geometry["strand"][k, :nn] = nodes.strand[:nn]
-            geometry["win_lo"][k, :nn] = win_lo
-            geometry["valid"][k, :nn] = 1
-            geometry["win_lo"][k, nn:] = np.arange(nn, n, dtype=np.int32)
-            per_bin["cs"][k, :nn] = nodes.cscore[:nn] + nodes.sscore[:nn]
-            per_bin["rscore"][k, :nn] = nodes.rscore[:nn]
-            per_bin["uscore"][k, :nn] = nodes.uscore[:nn]
-            per_bin["star_ptr"][k, :nn] = (
-                nodes.star_ptr[:nn * 3].reshape(nn, 3)
-            )
+            scores[0, k, :nn] = nodes.cscore[:nn] + nodes.sscore[:nn]
+            scores[1, k, :nn] = nodes.rscore[:nn]
+            scores[2, k, :nn] = nodes.uscore[:nn]
+            sp[:, k, :nn] = nodes.star_ptr[:nn * 3].reshape(nn, 3).T
+            gidx[k] = gmap[gkey]
             st_wt[k] = self.bins[bin_id].training_info.start_weight
 
-        ints, flts, NP = dp_pallas.pack_batch(geometry, per_bin, st_wt, W)
-        score, traceb, ov, best = dp_pallas._run_kernel_packed(
-            jnp.asarray(ints), jnp.asarray(flts), W, NP, B,
-            dp_pallas.FIXED_CHUNKS, self.interpret,
+        NP = W + int(np.ceil(n / 128) * 128) + 128
+        score, traceb, ov, best = dp_pallas._launch(
+            jnp.asarray(geom), jnp.asarray(scores), jnp.asarray(sp),
+            jnp.asarray(gidx), jnp.asarray(st_wt),
+            W, NP, BT, self.block_size, dp_pallas.FIXED_CHUNKS,
+            self.interpret,
         )
         return {"score": score, "traceb": traceb, "ov": ov, "best": best,
                 "work": work, "W": W}
@@ -185,74 +195,80 @@ class BatchMetaRunner:
     def find_genes_batch(self, sequences, num_seq_start=1):
         """Call genes on a list of sequences; returns a list of `Genes`.
 
-        Contigs whose node count exceeds the kernel bucket fall back to the
-        sequential exact C meta path.
+        Contigs whose node count exceeds the kernel bucket (or whose
+        giant-ORF window extension exceeds the fixed chunk budget) fall
+        back to the sequential exact C meta path.
         """
         contigs = []
-        all_items = []
         oversized = {}
+        per_contig = []  # (ci, items, geoms)
+        budget = dp_pallas.FIXED_CHUNKS * self.window
         for ci, s in enumerate(sequences):
             seq = Sequence(s, mask=self.mask, mask_size=self.min_mask)
             contigs.append(seq)
-            items = self._prepare_contig(seq)
-            if any(
-                sc.length > self.node_bucket
-                or (sc.length and int(
-                    (np.arange(sc.length) - wl).max()
-                ) > dp_pallas.FIXED_CHUNKS * self.window)
-                for (_b, sc, wl) in items
-            ):
+            items, geoms = self._prepare_contig(seq)
+            bad = any(
+                gd["nn"] > self.node_bucket
+                or (gd["nn"] and int(
+                    (np.arange(gd["nn"]) - gd["win_lo"]).max()) > budget)
+                for gd in geoms.values()
+            )
+            if bad:
                 oversized[ci] = True
                 continue
-            for (b, scored, win_lo) in items:
-                all_items.append((ci, b, scored, win_lo))
+            per_contig.append((ci, items, geoms))
 
-        # sweep in fixed-size batches (device-resident results)
+        # group into launches: <= batch_size items, <= max_geoms geometries
+        # (a contig's items may be split across launches; winner selection
+        # spans launches)
         launches = []
-        for ofs in range(0, len(all_items), self.batch_size):
-            chunk = all_items[ofs:ofs + self.batch_size]
-            res = self._sweep(chunk)
-            if res:
-                launches.append(res)
+        cur_work, cur_geoms = [], {}
+        for ci, items, geoms in per_contig:
+            for (b, scored, tt) in items:
+                key = (ci, tt)
+                need_geom = key not in cur_geoms
+                if cur_work and (
+                    len(cur_work) + 1 > self.batch_size
+                    or len(cur_geoms) + need_geom > self.max_geoms
+                ):
+                    launches.append(self._sweep(cur_work, cur_geoms))
+                    cur_work, cur_geoms = [], {}
+                if key not in cur_geoms:
+                    cur_geoms[key] = geoms[tt]
+                cur_work.append((ci, b, scored, key))
+        if cur_work:
+            launches.append(self._sweep(cur_work, cur_geoms))
+        launches = [r for r in launches if r]
 
-        # single D2H pull of every item's terminal best score
-        if launches:
-            all_best = np.asarray(
-                jnp.concatenate([r["best"] for r in launches])
-            )
-        else:
-            all_best = np.zeros(0, np.float32)
-
-        # pick each contig's best bin (first on ties, like the reference)
+        # single D2H pull per launch of every item's terminal best score
         best = {}
-        pos = 0
         for li, r in enumerate(launches):
-            for k, (ci, b, nodes, _wl) in enumerate(r["work"]):
-                sc = float(all_best[pos])
-                pos += 1
+            lb = np.asarray(r["best"])
+            for k, (ci, b, nodes, _g) in enumerate(r["work"]):
+                sc = float(lb[k])
                 if ci not in best or sc > best[ci][0]:
                     best[ci] = (sc, b, nodes, (li, k))
 
-        # gather the winners' DP rows in one device op + one D2H pull
-        winners = sorted(best.items())
-        if winners:
-            rows_s = jnp.stack([
-                launches[li]["score"][k] for _, (_, _, _, (li, k)) in winners
-            ])
-            rows_t = jnp.stack([
-                launches[li]["traceb"][k] for _, (_, _, _, (li, k)) in winners
-            ])
-            rows_o = jnp.stack([
-                launches[li]["ov"][k] for _, (_, _, _, (li, k)) in winners
-            ])
-            rows_s = np.asarray(rows_s)
-            rows_t = np.asarray(rows_t)
-            rows_o = np.asarray(rows_o)
-            for w, (ci, (sc, b, nodes, _lk)) in enumerate(winners):
+        # winner DP rows: one fixed-shape gather + D2H per launch
+        win_by_launch = {}
+        for ci, (_sc, _b, _nodes, (li, k)) in best.items():
+            win_by_launch.setdefault(li, []).append((ci, k))
+        for li, pairs in win_by_launch.items():
+            r = launches[li]
+            K = self.max_geoms
+            idx = np.zeros(K, np.int32)
+            for w, (_ci, k) in enumerate(pairs[:K]):
+                idx[w] = k
+            rows_s, rows_t, rows_o = dp_pallas._gather_rows(
+                r["score"], r["traceb"], r["ov"], jnp.asarray(idx))
+            rows_s, rows_t, rows_o = (
+                np.asarray(rows_s), np.asarray(rows_t), np.asarray(rows_o))
+            W = r["W"]
+            for w, (ci, _k) in enumerate(pairs[:K]):
+                sc, b, nodes, _lk = best[ci]
                 # kernel outputs span the full padded axis: logical node j
                 # lives at physical column W + j, and traceb VALUES are
                 # physical too — shift both back to logical indices.
-                W = launches[0]["W"]
                 nn = nodes.length
                 tb = rows_t[w, W:W + nn] - W
                 tb = np.where(tb >= -1, tb, -1)
