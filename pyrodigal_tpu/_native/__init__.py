@@ -144,6 +144,15 @@ _lib.rc_set_bcm.argtypes = [ctypes.c_int, ctypes.c_double]
 _lib.rc_calculate_confidence.argtypes = [ctypes.c_double, ctypes.c_double]
 _lib.rc_calculate_confidence.restype = ctypes.c_double
 
+# bin-independent precompute for the device scoring pipeline
+_lib.rc_rbs_candidates.argtypes = [c_u8p, ctypes.c_int, _NP, c_i32p, c_i32p]
+_lib.rc_ups_mers.argtypes = [c_u8p, ctypes.c_int, _NP, c_i8p]
+_lib.rc_motif_candidates.argtypes = [c_u8p, ctypes.c_int, _NP, c_i32p]
+_lib.rc_star_candidates.argtypes = [_NP, ctypes.c_int, ctypes.c_int, c_i32p]
+_lib.rc_star_candidates.restype = ctypes.c_int
+_lib.rc_stop_real.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_int, c_u8p]
+_lib.rc_edge_ups_flags.argtypes = [_NP, ctypes.c_int, ctypes.c_int, c_u8p]
+
 lib = _lib
 
 

@@ -2009,3 +2009,297 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
 
     ups_comp_to_log(tinf);
 }
+
+/* ==========================================================================
+ * Bin-independent precompute for the device (TPU) scoring pipeline.
+ *
+ * Meta mode scores every candidate model (bin) over the same node geometry;
+ * everything below depends only on (sequence, translation table, geometry),
+ * so it is computed ONCE per contig and shipped to the device, where the
+ * per-bin scoring (reference: lib.pyx:2331-2487) becomes pure gathers and
+ * elementwise selects over these index tensors.
+ * ========================================================================== */
+
+/* -- SD candidate masks ----------------------------------------------------
+ * The Shine-Dalgarno scorers (reference: lib.pyx:791-979) pick, at one
+ * window position, the motif index maximising (rbs_wt[v], v) over the
+ * candidates their loops enumerate.  The candidate SET is sequence-only;
+ * record it as a 28-bit mask per (node, window position) so the device can
+ * replay the lexicographic argmax under any bin's rbs_wt. */
+
+static int32_t sd_exact_cand_mask(const uint8_t *d, int slen, int pos,
+                                  int start, int strand) {
+    int i, j, k, rdis, limit, cur_val, cur_ctr, dis_flag;
+    int match[6] = { -10, -10, -10, -10, -10, -10 };
+    int32_t mask = 0;
+
+    limit = start - 4 - pos;
+    if (limit > 6) limit = 6;
+
+    for (i = 0; i < limit; i++) {
+        if (pos + i >= 0 && pos + i < slen) {
+            if (i % 3 == 0) { if (is_a(d, slen, pos + i, strand)) match[i] = 2; }
+            else            { if (is_g(d, slen, pos + i, strand)) match[i] = 3; }
+        }
+    }
+    for (i = limit; i >= 3; i--) {
+        for (j = 0; j <= limit - i; j++) {
+            cur_ctr = -2;
+            for (k = j; k < j + i; k++) cur_ctr += match[k];
+            if (cur_ctr < 6) continue;
+            rdis = start - (pos + j + i);
+            if      (rdis < 5)  dis_flag = (i < 5) ? 2 : 1;
+            else if (rdis < 11) dis_flag = 0;
+            else if (rdis < 13) dis_flag = (i < 5) ? 1 : 2;
+            else if (rdis < 16) dis_flag = 3;
+            else continue;
+            switch (cur_ctr) {
+                case 6:  cur_val = (int[]){13, 6, 1, 2}[dis_flag]; break;
+                case 8:  cur_val = (int[]){15, 12, 11, 3}[dis_flag]; break;
+                case 9:  cur_val = (int[]){16, 12, 11, 3}[dis_flag]; break;
+                case 11: cur_val = (int[]){22, 21, 20, 10}[dis_flag]; break;
+                case 12: cur_val = (int[]){24, 23, 20, 10}[dis_flag]; break;
+                case 14: cur_val = (int[]){27, 26, 25, 10}[dis_flag]; break;
+                default: cur_val = 0; break;
+            }
+            mask |= (int32_t)1 << cur_val;
+        }
+    }
+    return mask;
+}
+
+static int32_t sd_mm_cand_mask(const uint8_t *d, int slen, int pos,
+                               int start, int strand) {
+    int i, j, k, mism, rdis, limit, cur_val, cur_ctr, dis_flag;
+    int match[6];
+    int32_t mask = 0;
+
+    limit = start - 4 - pos;
+    if (limit > 6) limit = 6;
+
+    for (i = 0; i < 6; i++) match[i] = -10;
+    for (i = 0; i < limit; i++) {
+        if (pos + i >= 0 && pos + i < slen) {
+            if (i % 3 == 0) match[i] = is_a(d, slen, pos + i, strand) ? 2 : -3;
+            else            match[i] = is_g(d, slen, pos + i, strand) ? 3 : -2;
+        } else {
+            match[i] = (i % 3 == 0) ? -3 : -2;
+        }
+    }
+    for (i = limit; i >= 5; i--) {
+        for (j = 0; j <= limit - i; j++) {
+            cur_ctr = -2;
+            mism = 0;
+            for (k = j; k < j + i; k++) {
+                cur_ctr += match[k];
+                if (match[k] < 0) {
+                    mism += 1;
+                    if (k <= j + 1 || k >= j + i - 2) cur_ctr -= 10;
+                }
+            }
+            if (mism != 1 || cur_ctr < 6) continue;
+            rdis = start - (pos + j + i);
+            if      (rdis < 5)  dis_flag = 1;
+            else if (rdis < 11) dis_flag = 0;
+            else if (rdis < 13) dis_flag = 2;
+            else if (rdis < 16) dis_flag = 3;
+            else continue;
+            switch (cur_ctr) {
+                case 6: cur_val = (int[]){9, 5, 4, 2}[dis_flag]; break;
+                case 7: cur_val = (int[]){14, 8, 7, 2}[dis_flag]; break;
+                case 9: cur_val = (int[]){19, 18, 17, 3}[dis_flag]; break;
+                default: continue;
+            }
+            mask |= (int32_t)1 << cur_val;
+        }
+    }
+    return mask;
+}
+
+/* exact_mask/mm_mask: nn*15 int32, window position p maps to the scan
+ * position of rc_rbs_score (reference: lib.pyx:2241-2277); positions
+ * outside the sequence carry mask 0 (they are skipped by the scan). */
+void rc_rbs_candidates(const uint8_t *d, int slen, const nodes_t *nd,
+                       int32_t *exact_mask, int32_t *mm_mask) {
+    int i, j, p;
+    for (i = 0; i < nd->nn; i++) {
+        for (p = 0; p < 15; p++)
+            exact_mask[i * 15 + p] = mm_mask[i * 15 + p] = 0;
+        if (nd->type[i] == TSTOP || nd->edge[i]) continue;
+        if (nd->strand[i] == 1) {
+            for (p = 0, j = nd->ndx[i] - 20; j < nd->ndx[i] - 5; j++, p++) {
+                if (j < 0) continue;
+                exact_mask[i * 15 + p] =
+                    sd_exact_cand_mask(d, slen, j, nd->ndx[i], 1);
+                mm_mask[i * 15 + p] =
+                    sd_mm_cand_mask(d, slen, j, nd->ndx[i], 1);
+            }
+        } else {
+            int start = slen - 1 - nd->ndx[i];
+            for (p = 0, j = slen - nd->ndx[i] - 21;
+                 j < slen - nd->ndx[i] - 6; j++, p++) {
+                if (j >= slen) continue;
+                exact_mask[i * 15 + p] =
+                    sd_exact_cand_mask(d, slen, j, start, -1);
+                mm_mask[i * 15 + p] = sd_mm_cand_mask(d, slen, j, start, -1);
+            }
+        }
+    }
+}
+
+/* -- upstream composition mers ---------------------------------------------
+ * mers: nn*32 int8, slot order of score_upstream_composition
+ * (reference: lib.pyx:1618-1650): slots 0-1 = positions -1,-2; slots 2-31 =
+ * positions -15..-44; -1 where the position falls off the sequence. */
+void rc_ups_mers(const uint8_t *d, int slen, const nodes_t *nd, int8_t *mers) {
+    int i, k, start, strand, count;
+    for (i = 0; i < nd->nn; i++) {
+        for (k = 0; k < 32; k++) mers[i * 32 + k] = -1;
+        if (nd->type[i] == TSTOP) continue;
+        if (nd->strand[i] == 1) { start = nd->ndx[i]; strand = 1; }
+        else { start = slen - 1 - nd->ndx[i]; strand = -1; }
+        count = 0;
+        for (k = 1; k < 3; k++) {
+            if (k > start) break;
+            mers[i * 32 + count] =
+                (int8_t)mer_ndx(d, slen, start - k, 1, strand);
+            count++;
+        }
+        count = 2;
+        for (k = 15; k < 45; k++) {
+            if (k > start) break;
+            mers[i * 32 + count] =
+                (int8_t)mer_ndx(d, slen, start - k, 1, strand);
+            count++;
+        }
+    }
+}
+
+/* -- upstream motif candidates (non-SD bins) --------------------------------
+ * midx: nn*52 int32 = flat mot_wt index (len_i*16384 + spacendx*4096 + mer)
+ * per candidate, in the exact scan order of find_best_upstream_motif
+ * (reference: lib.pyx:1556-1616): i = 3..0 (motif length 6..3), j ascending
+ * over the 13 window positions; -1 where j < 0 or for stop/edge nodes. */
+void rc_motif_candidates(const uint8_t *d, int slen, const nodes_t *nd,
+                         int32_t *midx) {
+    int n, i, j, s, start, spacendx, index;
+    for (n = 0; n < nd->nn; n++) {
+        for (s = 0; s < 52; s++) midx[n * 52 + s] = -1;
+        if (nd->type[n] == TSTOP || nd->edge[n]) continue;
+        start = (nd->strand[n] == 1) ? nd->ndx[n] : slen - 1 - nd->ndx[n];
+        for (i = 3; i >= 0; i--) {
+            for (j = start - 18 - i, s = 0; j < start - 5 - i; j++, s++) {
+                if (j < 0) continue;
+                if      (j <= start - 16 - i) spacendx = 3;
+                else if (j <= start - 14 - i) spacendx = 2;
+                else if (j >= start - 7 - i)  spacendx = 1;
+                else                          spacendx = 0;
+                index = mer_ndx(d, slen, j, i + 3, nd->strand[n]);
+                midx[n * 52 + (3 - i) * 13 + s] =
+                    i * 16384 + spacendx * 4096 + index;
+            }
+        }
+    }
+}
+
+/* -- star-pointer candidate lists -------------------------------------------
+ * For every stop node, the start nodes its flag=1 overlapping-start scan
+ * (reference: lib.pyx:2279-2329) would visit, in exact scan order.  The
+ * conditions are geometry-only; the device replays the global-running-max
+ * selection with per-bin scores.  Returns the largest candidate count seen
+ * (callers fall back to the host path when it exceeds K). */
+int rc_star_candidates(const nodes_t *nd, int max_sam_overlap, int K,
+                       int32_t *cands) {
+    int i, j, k, maxk = 0;
+    int nn = nd->nn;
+    for (i = 0; i < nn; i++) {
+        for (k = 0; k < K; k++) cands[i * K + k] = -1;
+        if (nd->type[i] != TSTOP || nd->edge[i] == 1) continue;
+        k = 0;
+        if (nd->strand[i] == 1) {
+            for (j = i + 3; j >= 0; j--) {
+                if (j >= nn || nd->ndx[j] > nd->ndx[i] + 2) continue;
+                if (nd->ndx[j] + max_sam_overlap < nd->ndx[i]) break;
+                if (nd->strand[j] == 1 && nd->type[j] != TSTOP) {
+                    if (nd->stop_val[j] <= nd->ndx[i]) continue;
+                    if (k < K) cands[i * K + k] = j;
+                    k++;
+                }
+            }
+        } else {
+            for (j = i - 3; j < nn; j++) {
+                if (j < 0 || nd->ndx[j] < nd->ndx[i] - 2) continue;
+                if (nd->ndx[j] - max_sam_overlap > nd->ndx[i]) break;
+                if (nd->strand[j] == -1 && nd->type[j] != TSTOP) {
+                    if (nd->stop_val[j] >= nd->ndx[i]) continue;
+                    if (k < K) cands[i * K + k] = j;
+                    k++;
+                }
+            }
+        }
+        if (k > maxk) maxk = k;
+    }
+    return maxk;
+}
+
+/* -- real-stop flags --------------------------------------------------------
+ * Whether each node's stop codon is a real stop under the translation
+ * table (the edge_gene test of rc_score_nodes). */
+void rc_stop_real(const uint8_t *d, int slen, const nodes_t *nd, int tt,
+                  uint8_t *out) {
+    int i;
+    for (i = 0; i < nd->nn; i++) {
+        if (nd->strand[i] == 1)
+            out[i] = (uint8_t)is_stop(d, slen, nd->stop_val[i], tt, 1);
+        else
+            out[i] = (uint8_t)is_stop(d, slen, slen - 1 - nd->stop_val[i],
+                                      tt, -1);
+    }
+}
+
+/* -- edge-upstream penalty flags --------------------------------------------
+ * Which start nodes receive the EDGE_UPS upstream penalty in
+ * rc_score_nodes.  The forward scan can observe edge flags already mutated
+ * for earlier nodes in the same scoring pass (near-boundary starts are
+ * promoted to edge), so the mutation is simulated here in scan order. */
+void rc_edge_ups_flags(const nodes_t *nd, int slen, int closed,
+                       uint8_t *flags) {
+    int i, j;
+    int nn = nd->nn;
+    uint8_t *eff = (uint8_t *)malloc((size_t)(nn > 0 ? nn : 1));
+    if (!eff) return;
+    for (i = 0; i < nn; i++) eff[i] = nd->edge[i];
+
+    for (i = 0; i < nn; i++) {
+        flags[i] = 0;
+        if (nd->type[i] == TSTOP) continue;
+        if (nd->edge[i]) { /* edge starts skip the uscore block entirely */
+            /* still apply the mutation bookkeeping order: none needed */
+        } else if (!closed && nd->ndx[i] <= 2 && nd->strand[i] == 1) {
+            flags[i] = 1;
+        } else if (!closed && nd->ndx[i] >= slen - 3 && nd->strand[i] == -1) {
+            flags[i] = 1;
+        } else if (i < 500 && nd->strand[i] == 1) {
+            for (j = i - 1; j >= 0; j--) {
+                if (eff[j] && nd->stop_val[i] == nd->stop_val[j]) {
+                    flags[i] = 1;
+                    break;
+                }
+            }
+        } else if (i + 500 >= nn && nd->strand[i] == -1) {
+            for (j = i + 1; j < nn; j++) {
+                /* forward in index order: mutations have not yet applied */
+                if (nd->edge[j] && nd->stop_val[i] == nd->stop_val[j]) {
+                    flags[i] = 1;
+                    break;
+                }
+            }
+        }
+        /* simulate the near-boundary edge promotion for later scans */
+        if (!closed && !nd->edge[i]
+            && ((nd->ndx[i] <= 2 && nd->strand[i] == 1)
+                || (nd->ndx[i] >= slen - 3 && nd->strand[i] == -1)))
+            eff[i] = 1;
+    }
+    free(eff);
+}

@@ -818,24 +818,17 @@ def _igm_same_jnp(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
             ).astype(jnp.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("W", "NP", "BT", "BLK", "MAX_CHUNKS", "interpret"))
-def _launch(geom, scores, sp, gidx, st_wt, W, NP, BT, BLK, MAX_CHUNKS,
-            interpret=False):
-    """geom: (6, G, n) int32 [ndx, stop_val, typ, strand, win_lo, valid];
-    scores: (3, BT, n) f32 [cs, rscore, uscore]; sp: (3, BT, n) int16
-    star pointers; gidx: (BT,) geometry index per item; st_wt: (BT,) f32.
-
-    Returns (score, traceb, ovmark) over the full padded axis (physical
-    indices) and the per-item best terminal path score, device-resident.
-    """
-    n = geom.shape[2]
-    g = jnp.take(geom, gidx, axis=1)                  # (6, BT, n)
-    ndx, stop_val, typ, strand, win_lo, valid = (g[k] for k in range(6))
+def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
+             st_wt, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
+    """Shared trace-level DP entry: all inputs are device tensors already
+    expanded per work item — geometry/scores (BT, n), star pointers sp
+    (3, BT, n) int, st_wt (BT,).  Computes the derived star-pointer tables
+    on device, pads, runs the grid-blocked kernel, and returns
+    (score, traceb, ovmark) over the padded axis + per-item best terminal
+    path score."""
+    n = ndx.shape[1]
     kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
     frame = ndx % 3
-    cs, rsc, usc = scores[0], scores[1], scores[2]
     stw = st_wt[:, None]
 
     def gat(a, idx):
@@ -878,6 +871,25 @@ def _launch(geom, scores, sp, gidx, st_wt, W, NP, BT, BLK, MAX_CHUNKS,
     terminal = jnp.pad(terminal, ((0, 0), (W, NP - W - n)))
     best = jnp.max(jnp.where(terminal, score, -1.0), axis=1)
     return score, traceb, ov, best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("W", "NP", "BT", "BLK", "MAX_CHUNKS", "interpret"))
+def _launch(geom, scores, sp, gidx, st_wt, W, NP, BT, BLK, MAX_CHUNKS,
+            interpret=False):
+    """geom: (6, G, n) int32 [ndx, stop_val, typ, strand, win_lo, valid];
+    scores: (3, BT, n) f32 [cs, rscore, uscore]; sp: (3, BT, n) int16
+    star pointers; gidx: (BT,) geometry index per item; st_wt: (BT,) f32.
+
+    Returns (score, traceb, ovmark) over the full padded axis (physical
+    indices) and the per-item best terminal path score, device-resident.
+    """
+    g = jnp.take(geom, gidx, axis=1)                  # (6, BT, n)
+    ndx, stop_val, typ, strand, win_lo, valid = (g[k] for k in range(6))
+    return _dp_core(ndx, stop_val, typ, strand, win_lo, valid,
+                    scores[0], scores[1], scores[2], sp, st_wt,
+                    W, NP, BT, BLK, MAX_CHUNKS, interpret)
 
 
 @jax.jit

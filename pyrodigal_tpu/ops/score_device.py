@@ -1,0 +1,520 @@
+"""On-device (TPU) per-bin node scoring for meta mode.
+
+The reference scores every candidate metagenomic model over the same node
+geometry (reference: lib.pyx:5317-5396 — the bin sweep re-runs
+`Nodes._score` + `_record_overlapping_starts` + the DP per bin).  Here the
+whole per-bin pipeline runs on the accelerator:
+
+* the 50 models' tables (gene_dc, rbs_wt, ups_comp, mot_wt, type_wt, ...)
+  are uploaded ONCE and stay device-resident;
+* per contig, only *sequence-derived index tensors* cross the link (once
+  per translation table): 6-mer codes, SD candidate masks, upstream-mer
+  one-hots, motif candidate indices, star-candidate lists — all
+  bin-independent, produced by the C engine / numpy
+  (reference: lib.pyx:2119-2239, 791-979, 1556-1650, 2279-2329);
+* scoring for a whole batch of (contig, bin) work items becomes gathers,
+  segmented scans and elementwise selects over (BT, n) tensors, fused by
+  XLA into the same dispatch as the Pallas DP kernel.
+
+Numerics are float32 (the exact float64 C engine re-scores the winning bin
+on the host for output fidelity); the differential tests bound the drift.
+"""
+
+import ctypes
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .._constants import STOP
+from .. import _native
+from . import dp_jax, dp_pallas
+
+EDGE_BONUS = 0.74
+EDGE_UPS = -1.0
+META_PEN = 7.5
+
+F32 = jnp.float32
+
+
+# --------------------------------------------------------------------------
+# device-resident per-bin tables
+# --------------------------------------------------------------------------
+
+class BinTables:
+    """Stacked per-bin training tables, uploaded once."""
+
+    def __init__(self, metagenomic_bins):
+        tis = [b.training_info for b in metagenomic_bins]
+        nb = len(tis)
+        gene_dc = np.zeros((nb, 4096), np.float32)
+        rbs_wt = np.zeros((nb, 28), np.float32)
+        ups_comp = np.zeros((nb, 128), np.float32)
+        type_wt = np.zeros((nb, 3), np.float32)
+        mot_wt = np.zeros((nb, 65536), np.float32)
+        st_wt = np.zeros(nb, np.float32)
+        no_mot = np.zeros(nb, np.float32)
+        uses_sd = np.zeros(nb, np.int32)
+        log_no_stop = np.zeros(nb, np.float32)
+        lfac_min = np.zeros(nb, np.float32)
+        lfac_max = np.zeros(nb, np.float32)
+        for k, ti in enumerate(tis):
+            gene_dc[k] = ti.coding_statistics
+            rbs_wt[k] = ti.rbs_weights_array
+            ups_comp[k] = np.asarray(ti.upstream_compositions,
+                                     np.float64).reshape(-1)
+            type_wt[k] = ti.type_weights
+            mot_wt[k] = np.asarray(ti.motif_weights, np.float64).reshape(-1)
+            st_wt[k] = ti.start_weight
+            no_mot[k] = ti.missing_motif_weight
+            uses_sd[k] = int(ti.uses_sd)
+            gc = float(ti.gc)
+            # (reference: lib.pyx:2131-2147)
+            if ti.translation_table != 11:
+                ns = ((1 - gc) ** 2 * gc) / 8.0 + ((1 - gc) ** 3) / 8.0
+            else:
+                ns = ((1 - gc) ** 2 * gc) / 4.0 + ((1 - gc) ** 3) / 8.0
+            ns = 1.0 - ns
+            log_no_stop[k] = np.log(ns)
+            lfac_max[k] = np.log((1 - ns ** 1000.0) / ns ** 1000.0)
+            lfac_min[k] = np.log((1 - ns ** 80.0) / ns ** 80.0)
+        self.nb = nb
+        self.gene_dc = jnp.asarray(gene_dc)
+        self.rbs_wt = jnp.asarray(rbs_wt)
+        self.ups_comp = jnp.asarray(ups_comp)
+        self.type_wt = jnp.asarray(type_wt)
+        self.mot_wt = jnp.asarray(mot_wt)
+        self.st_wt = jnp.asarray(st_wt)
+        self.no_mot = jnp.asarray(no_mot)
+        self.uses_sd = jnp.asarray(uses_sd)
+        self.log_no_stop = jnp.asarray(log_no_stop)
+        self.lfac_min = jnp.asarray(lfac_min)
+        self.lfac_max = jnp.asarray(lfac_max)
+        self.any_nonsd = bool((uses_sd == 0).any())
+
+    def as_tuple(self):
+        return (self.gene_dc, self.rbs_wt, self.ups_comp, self.type_wt,
+                self.mot_wt, self.st_wt, self.no_mot, self.uses_sd,
+                self.log_no_stop, self.lfac_min, self.lfac_max)
+
+
+# --------------------------------------------------------------------------
+# host-side geometry precompute (bin-independent, once per contig x table)
+# --------------------------------------------------------------------------
+
+def sixmer_codes(digits):
+    """Forward/reverse 6-mer codes per position (reference: _sequence.h
+    mer_ndx): code = sum_k (base_k & 3) << 2k; N maps to C as in the
+    reference bitmap encoding.  Out-of-range reads clamp to the sequence."""
+    b = (digits & 3).astype(np.int32)
+    bc = np.where(digits < 4, 3 - b, 2).astype(np.int32)
+    slen = len(b)
+    bp = np.concatenate([b, np.zeros(6, np.int32)])
+    bcp = np.concatenate([np.zeros(6, np.int32), bc])
+    m6f = np.zeros(slen, np.int32)
+    m6r = np.zeros(slen, np.int32)
+    for k in range(6):
+        m6f |= bp[k:k + slen] << (2 * k)
+        m6r |= bcp[6 - k:6 - k + slen] << (2 * k)
+    return m6f, m6r
+
+
+def prepare_geometry(seq, nodes, tt, closed, max_overlap, star_k):
+    """All bin-independent tensors for one (contig, translation table).
+
+    Returns a dict of numpy arrays (unpadded) plus `star_overflow` when the
+    star-candidate lists exceed `star_k` (caller falls back to the host
+    path)."""
+    nn = nodes.length
+    slen = seq.slen
+    s = nodes._struct()
+    lib = _native.lib
+
+    rbs_ex = np.zeros((nn, 15), np.int32)
+    rbs_mm = np.zeros((nn, 15), np.int32)
+    lib.rc_rbs_candidates(_native.u8(seq.digits), slen, ctypes.byref(s),
+                          _native.i32(rbs_ex), _native.i32(rbs_mm))
+    ups = np.full((nn, 32), -1, np.int8)
+    lib.rc_ups_mers(_native.u8(seq.digits), slen, ctypes.byref(s),
+                    _native.i8(ups))
+    mot = np.full((nn, 52), -1, np.int32)
+    lib.rc_motif_candidates(_native.u8(seq.digits), slen, ctypes.byref(s),
+                            _native.i32(mot))
+    star = np.full((nn, star_k), -1, np.int32)
+    maxk = lib.rc_star_candidates(ctypes.byref(s), max_overlap, star_k,
+                                  _native.i32(star))
+    stop_real = np.zeros(nn, np.uint8)
+    lib.rc_stop_real(_native.u8(seq.digits), slen, ctypes.byref(s), tt,
+                     _native.u8(stop_real))
+    euf = np.zeros(nn, np.uint8)
+    lib.rc_edge_ups_flags(ctypes.byref(s), slen, int(closed),
+                          _native.u8(euf))
+
+    win_lo = dp_jax.window_starts(
+        nodes.ndx[:nn].astype(np.int64), nodes.stop_val[:nn].astype(np.int64),
+        nodes.type[:nn], nodes.strand[:nn]).astype(np.int32)
+
+    # upstream-composition one-hot: slot*4 + mer for the valid slots
+    c_ups = np.zeros((nn, 128), np.uint8)
+    slots = np.arange(32)[None, :]
+    validu = ups >= 0
+    flat = slots * 4 + np.where(validu, ups, 0)
+    rows = np.repeat(np.arange(nn)[:, None], 32, axis=1)
+    np.add.at(c_ups, (rows[validu], flat[validu]), 1)
+
+    m6f, m6r = sixmer_codes(seq.digits)
+
+    return {
+        "nn": nn, "slen": slen, "tt": tt,
+        "ndx": nodes.ndx[:nn].astype(np.int32),
+        "stop_val": nodes.stop_val[:nn].astype(np.int32),
+        "typ": nodes.type[:nn].astype(np.int32),
+        "strand": nodes.strand[:nn].astype(np.int32),
+        "edge": nodes.edge[:nn].astype(np.int32),
+        "stop_real": stop_real.astype(np.int32),
+        "euf": euf.astype(np.int32),
+        "win_lo": win_lo,
+        "rbs_ex": rbs_ex, "rbs_mm": rbs_mm,
+        "mot": mot, "star": star, "c_ups": c_ups,
+        "m6f": m6f.astype(np.int16), "m6r": m6r.astype(np.int16),
+        "star_overflow": maxk > star_k,
+    }
+
+
+GEO_NODE_I32 = ("ndx", "stop_val", "typ", "strand", "edge", "stop_real",
+                "euf", "win_lo", "valid")
+
+
+def pack_geometries(geoms, G, n, S, star_k):
+    """Stack geometry dicts into fixed-shape arrays for one launch."""
+    out = {
+        "node": np.zeros((len(GEO_NODE_I32), G, n), np.int32),
+        "rbs_ex": np.zeros((G, n, 15), np.int32),
+        "rbs_mm": np.zeros((G, n, 15), np.int32),
+        "mot": np.full((G, n, 52), -1, np.int32),
+        "star": np.full((G, n, star_k), -1, np.int32),
+        "c_ups": np.zeros((G, n, 128), np.uint8),
+        "m6": np.zeros((2, G, S), np.int16),
+        "slen": np.zeros(G, np.int32),
+    }
+    out["node"][3] = 1          # strand pad
+    for gi, gd in enumerate(geoms):
+        nn = gd["nn"]
+        for fi, f in enumerate(GEO_NODE_I32[:-1]):
+            out["node"][fi, gi, :nn] = gd[f]
+        out["node"][8, gi, :nn] = 1                      # valid
+        out["node"][7, gi, nn:] = np.arange(nn, n)       # win_lo pad
+        out["rbs_ex"][gi, :nn] = gd["rbs_ex"]
+        out["rbs_mm"][gi, :nn] = gd["rbs_mm"]
+        out["mot"][gi, :nn] = gd["mot"]
+        out["star"][gi, :nn] = gd["star"]
+        out["c_ups"][gi, :nn] = gd["c_ups"]
+        out["m6"][0, gi, :gd["slen"]] = gd["m6f"]
+        out["m6"][1, gi, :gd["slen"]] = gd["m6r"]
+        out["slen"][gi] = gd["slen"]
+    return out
+
+
+# --------------------------------------------------------------------------
+# the fused scoring + DP launch
+# --------------------------------------------------------------------------
+
+def _seg_scan(values, is_elem, is_reset, reset_val, init, reverse):
+    """Segmented running-max scan along axis 1.
+
+    values/is_elem/is_reset: (BT, n, C); init: (BT, C) seed state applied
+    before (after, if reverse) the scanned axis.  Returns (inclusive,
+    exclusive, final) scans of shape (BT, n, C) / (BT, C)."""
+    NEGI = jnp.float32(-3e38)
+    m = jnp.where(is_reset, jnp.float32(reset_val),
+                  jnp.where(is_elem, values, NEGI))
+    r = is_reset
+    seed_m = init[:, None, :]
+    seed_r = jnp.ones_like(seed_m, dtype=bool)
+    if reverse:
+        m = jnp.concatenate([m, seed_m], axis=1)
+        r = jnp.concatenate([r, seed_r], axis=1)
+    else:
+        m = jnp.concatenate([seed_m, m], axis=1)
+        r = jnp.concatenate([seed_r, r], axis=1)
+
+    def comb(a, b):
+        (m1, r1), (m2, r2) = a, b
+        return jnp.where(r2, m2, jnp.maximum(m1, m2)), r1 | r2
+
+    ms, _ = jax.lax.associative_scan(comb, (m, r), axis=1, reverse=reverse)
+    if reverse:
+        incl = ms[:, :-1]
+        excl = jnp.concatenate([ms[:, 1:-1], ms[:, -1:]], axis=1)
+        final = ms[:, 0]
+    else:
+        incl = ms[:, 1:]
+        excl = ms[:, :-1]
+        final = ms[:, -1]
+    return incl, excl, final
+
+
+def _sel_phase(scan, phase):
+    """Pick each node's own channel from a (BT, n, 3) scan."""
+    return jnp.take_along_axis(scan, phase[..., None], axis=2)[..., 0]
+
+
+def _rbs_winner(masks, rbs_row):
+    """Replay the SD scorers' lexicographic argmax under each bin's rbs_wt
+    (reference: lib.pyx:884-887 tie rules): per window position the best
+    index by (weight, index); then the max index over positions
+    (reference: lib.pyx:2262-2274)."""
+    BT = masks.shape[0]
+    bw = jnp.broadcast_to(rbs_row[:, 0][:, None, None], masks.shape)
+    bi = jnp.zeros(masks.shape, jnp.int32)
+    for v in range(1, 28):
+        bit = (masks >> v) & 1
+        wv = rbs_row[:, v][:, None, None]
+        upd = (bit != 0) & (wv >= bw)
+        bw = jnp.where(upd, wv, bw)
+        bi = jnp.where(upd, v, bi)
+    return jnp.max(bi, axis=2)
+
+
+def _gat(a, idx):
+    return jnp.take_along_axis(a, idx, axis=1)
+
+
+def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
+                 has_nonsd):
+    """Compute cscore/sscore/rscore/uscore and star pointers for a batch of
+    (contig, bin) work items (reference: lib.pyx:2119-2487, 2279-2329)."""
+    (gene_dc, rbs_wt, ups_comp, type_wt, mot_wt, st_wt_t, no_mot_t,
+     uses_sd_t, log_ns_t, lfmin_t, lfmax_t) = tables
+
+    node = jnp.take(geo["node"], gidx, axis=1)        # (9, BT, n)
+    (ndx, stop_val, typ, strand, edge, stop_real, euf, win_lo,
+     valid) = (node[k] for k in range(len(GEO_NODE_I32)))
+    BT, n = ndx.shape
+
+    stw = st_wt_t[bin_idx][:, None]                    # (BT, 1)
+    slen = jnp.take(geo["slen"], gidx)[:, None]        # (BT, 1) int
+    slen_f = slen.astype(F32)
+    start = (typ != STOP) & (valid != 0)
+    stop = (typ == STOP) & (valid != 0)
+    fwd = strand == 1
+    phase = ndx % 3
+    edgeb = edge != 0
+
+    # ---- cscore pass 1: hexamer sums as phase-wise prefix differences ----
+    dcrow = gene_dc[bin_idx]                           # (BT, 4096)
+    m6 = jnp.take(geo["m6"], gidx, axis=1).astype(jnp.int32)   # (2, BT, S)
+    dcf = _gat(dcrow, m6[0])
+    dcr = _gat(dcrow, m6[1])
+    S = dcf.shape[1]
+    Cf = jnp.cumsum(dcf.reshape(BT, S3, 3), axis=1).reshape(BT, S)
+    Cr = jnp.cumsum(dcr.reshape(BT, S3, 3), axis=1).reshape(BT, S)
+
+    def pref(C, j):
+        return jnp.where(j >= 0, _gat(C, jnp.clip(j, 0, S - 1)), 0.0)
+
+    cs1_f = pref(Cf, stop_val - 3) - pref(Cf, ndx - 3)
+    cs1_r = pref(Cr, ndx) - pref(Cr, stop_val)
+    cscore = jnp.where(start, jnp.where(fwd, cs1_f, cs1_r), 0.0)
+
+    # ---- pass 2: ascending-coding penalty (segmented running max) --------
+    ph1 = jax.nn.one_hot(phase, 3, dtype=bool)         # (BT, n, 3)
+    neg1e4 = jnp.full((BT, 3), -1e4, F32)
+
+    def chan(pred):
+        return pred[..., None] & ph1
+
+    v_c = jnp.broadcast_to(cscore[..., None], (BT, n, 3))
+    inc_f, _, fin2f = _seg_scan(v_c, chan(start & fwd), chan(stop & fwd),
+                                -1e4, neg1e4, False)
+    inc_r, _, fin2r = _seg_scan(v_c, chan(start & ~fwd), chan(stop & ~fwd),
+                                -1e4, neg1e4, True)
+    run2 = jnp.where(fwd, _sel_phase(inc_f, phase), _sel_phase(inc_r, phase))
+    cscore = jnp.where(start, 2.0 * cscore - run2, cscore)
+
+    # ---- pass 3: length factor (carries pass-2 scan state, as the
+    # reference does: lib.pyx:2119-2239 keeps one running score[3]) --------
+    log_ns = log_ns_t[bin_idx][:, None]
+    lfmin = lfmin_t[bin_idx][:, None]
+    lfmax = lfmax_t[bin_idx][:, None]
+    orf_len = jnp.abs(ndx - stop_val)
+    gsize = (orf_len.astype(F32) + 3.0) / 3.0
+    tmp = jnp.exp(gsize * log_ns)
+    lfac_raw = jnp.where(
+        gsize > 1000.0,
+        (lfmax - lfmin) * (gsize - 80.0) / 920.0,
+        jnp.log1p(-tmp) - gsize * log_ns - lfmin,
+    )
+    v_l = jnp.broadcast_to(lfac_raw[..., None], (BT, n, 3))
+    inc3f, exc3f, fin3f = _seg_scan(v_l, chan(start & fwd),
+                                    chan(stop & fwd), -1e4, fin2r, False)
+    _, exc3r, _ = _seg_scan(v_l, chan(start & ~fwd), chan(stop & ~fwd),
+                            -1e4, fin3f, True)
+    run3 = jnp.where(fwd, _sel_phase(exc3f, phase), _sel_phase(exc3r, phase))
+    lfac = jnp.where(
+        lfac_raw > run3, lfac_raw,
+        lfac_raw - jnp.maximum(jnp.minimum(run3 - lfac_raw, lfac_raw), 0.0))
+    cfix = jnp.where((lfac > 3.0) & (cscore < 0.5 * lfac), 0.5 * lfac,
+                     cscore)
+    cscore = jnp.where(start, cfix + lfac, cscore)
+
+    # ---- RBS / SD score ---------------------------------------------------
+    rbs_row = rbs_wt[bin_idx]                          # (BT, 28)
+    rbs0 = _rbs_winner(jnp.take(geo["rbs_ex"], gidx, axis=0), rbs_row)
+    rbs1 = _rbs_winner(jnp.take(geo["rbs_mm"], gidx, axis=0), rbs_row)
+    w0 = _gat(rbs_row, rbs0)
+    w1 = _gat(rbs_row, rbs1)
+    sd_score = jnp.maximum(w0, w1) * stw
+
+    if has_nonsd:
+        mid = jnp.take(geo["mot"], gidx, axis=0)       # (BT, n, 52)
+        mrow = mot_wt[bin_idx]                         # (BT, 65536)
+        mv = _gat(mrow, jnp.clip(mid, 0, 65535).reshape(BT, -1))
+        mv = mv.reshape(mid.shape)
+        best = jnp.full((BT, n), -100.0, F32)
+        for s in range(52):
+            ok = (mid[:, :, s] >= 0) & (mv[:, :, s] > best)
+            best = jnp.where(ok, mv[:, :, s], best)
+        no_mot = no_mot_t[bin_idx][:, None]
+        mot_sc = jnp.where((best == -4.0) | (best < no_mot + 0.69),
+                           no_mot, best)
+        r_nonsd = stw * mot_sc
+        # non-SD mode never runs the SD scan, so its fallback compares
+        # against rbs_wt[0] (rbs0 = rbs1 = 0 in the reference)
+        sd0 = jnp.broadcast_to(rbs_row[:, 0:1] * stw, r_nonsd.shape)
+        r_nonsd = jnp.where((r_nonsd < sd0) & (no_mot > -0.5),
+                            sd0, r_nonsd)
+        rscore = jnp.where(uses_sd_t[bin_idx][:, None] != 0,
+                           sd_score, r_nonsd)
+    else:
+        rscore = sd_score
+
+    # ---- upstream composition (einsum against all bins at once) ----------
+    c_ups = geo["c_ups"].astype(F32)                   # (G, n, 128)
+    u_all = jnp.einsum("gnu,bu->gbn", c_ups, ups_comp,
+                       precision=jax.lax.Precision.HIGHEST)
+    u_base = u_all[gidx, bin_idx] * (0.4 * stw)        # (BT, n)
+
+    # ---- start score assembly (reference: lib.pyx:2331-2487) -------------
+    edge0 = edge + (1 - stop_real)
+    tsc = jnp.where(edgeb, EDGE_BONUS * stw / edge0.astype(F32),
+                    _gat(type_wt[bin_idx], jnp.clip(typ, 0, 2)) * stw)
+    rsc = jnp.where(edgeb, 0.0, rscore)
+    usc = jnp.where(edgeb, 0.0, u_base + jnp.where(euf != 0,
+                                                   EDGE_UPS * stw, 0.0))
+    mut = ((not closed) & ~edgeb & start
+           & (((ndx <= 2) & fwd) | ((ndx >= slen - 3) & ~fwd)))
+    edge_gene = edge0 + mut.astype(jnp.int32)
+    egf = edge_gene.astype(F32)
+    tsc = jnp.where(mut, 0.0, tsc)
+    usc = jnp.where(mut, EDGE_BONUS * stw / jnp.maximum(egf, 1.0), usc)
+    rsc = jnp.where(mut, 0.0, rsc)
+    edge_eff = edgeb | mut
+    usc = usc - jnp.where(~edge_eff & (edge_gene == 1),
+                          0.5 * EDGE_BONUS * stw, 0.0)
+    small = (edge_gene == 0) & (orf_len < 250)
+    negf = 250.0 / jnp.maximum(orf_len.astype(F32), 1.0)
+    posf = orf_len.astype(F32) / 250.0
+
+    def scale(x):
+        return jnp.where(small, x * jnp.where(x < 0, negf, posf), x)
+
+    tsc, rsc, usc = scale(tsc), scale(rsc), scale(usc)
+    if is_meta:
+        pen = (slen < 3000) & (edge_gene == 0) & ((cscore < 5.0)
+                                                  | (orf_len < 120))
+        cscore = jnp.where(
+            start & pen,
+            cscore - META_PEN * jnp.maximum(
+                0.0, (3000.0 - slen_f) / 2700.0),
+            cscore)
+    ssc = tsc + rsc + usc
+    csneg = cscore < 0.0
+    b1 = csneg & (edge_gene > 0) & ~edge_eff
+    if is_meta:
+        pen1 = jnp.where(slen > 1500, stw, 10.31 - 0.004 * slen_f)
+    else:
+        pen1 = jnp.broadcast_to(stw, slen_f.shape)
+    ssc = jnp.where(b1, ssc - pen1, ssc)
+    if is_meta:
+        b2 = csneg & ~b1 & (slen < 3000) & edge_eff
+        kill = b2 & (orf_len.astype(F32) >= jnp.sqrt(slen_f) * 5.0)
+        ssc = jnp.where(kill, 0.0, ssc)
+        usc = jnp.where(kill, 0.0, usc)
+        b3 = csneg & ~b1 & ~b2
+    else:
+        b3 = csneg & ~b1
+    ssc = jnp.where(b3, ssc - 0.5, ssc)
+    if is_meta:
+        b4 = (~csneg & (cscore < 5.0) & (orf_len < 120) & (ssc < 0.0))
+        ssc = jnp.where(b4, ssc - stw, ssc)
+
+    # stops carry no start scores
+    tsc = jnp.where(start, tsc, 0.0)
+    rsc = jnp.where(start, rsc, 0.0)
+    usc = jnp.where(start, usc, 0.0)
+    ssc = jnp.where(start, ssc, 0.0)
+    cscore = jnp.where(valid != 0, cscore, 0.0)
+
+    # ---- star pointers, flag=1 (reference: lib.pyx:2279-2329) ------------
+    # Replay the global-running-max scan over the precomputed candidate
+    # lists; the running max is shared across frames, as in the reference.
+    starc = jnp.take(geo["star"], gidx, axis=0)        # (BT, n, K)
+    K = starc.shape[2]
+    cs_tot = cscore + ssc
+    runmax = jnp.full((BT, n), -100.0, F32)
+    ptr = [jnp.full((BT, n), -1, jnp.int32) for _ in range(3)]
+    ndx_i, rsc_i, usc_i = ndx, rsc, usc
+    for k in range(K):
+        j = starc[:, :, k]
+        ok = j >= 0
+        jc = jnp.clip(j, 0, n - 1)
+        ndx_j = _gat(ndx, jc)
+        sc_j = _gat(cs_tot, jc)
+        rsc_j = _gat(rsc, jc)
+        usc_j = _gat(usc, jc)
+        igm_f = dp_pallas._igm_same_jnp(
+            ndx_i, strand, rsc_i, usc_i, ndx_j, rsc_j, usc_j, stw)
+        igm_r = dp_pallas._igm_same_jnp(
+            ndx_j, jnp.full_like(ndx_j, -1), rsc_j, usc_j,
+            ndx_i, rsc_i, usc_i, stw)
+        sc = sc_j + jnp.where(fwd, igm_f, igm_r)
+        upd = ok & (sc > runmax)
+        phj = ndx_j % 3
+        for f in range(3):
+            ptr[f] = jnp.where(upd & (phj == f), j, ptr[f])
+        runmax = jnp.where(upd, sc, runmax)
+    star_ptr = jnp.stack(ptr)                          # (3, BT, n)
+
+    return (ndx, stop_val, typ, strand, win_lo, valid,
+            cscore, ssc, rsc, usc, star_ptr, stw[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "is_meta", "closed", "S3", "has_nonsd", "W", "NP", "BLK", "MAX_CHUNKS",
+    "interpret"))
+def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
+                    has_nonsd, W, NP, BLK, MAX_CHUNKS, interpret=False):
+    """Fused on-device scoring + DP for one launch of work items.
+
+    Returns (score, traceb, ovmark) over the padded node axis and the
+    per-item best terminal path score — all device-resident."""
+    (ndx, stop_val, typ, strand, win_lo, valid,
+     cscore, ssc, rsc, usc, star_ptr, stw) = _score_items(
+        tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
+        S3=S3, has_nonsd=has_nonsd)
+    BT = ndx.shape[0]
+    return dp_pallas._dp_core(
+        ndx, stop_val, typ, strand, win_lo, valid,
+        cscore + ssc, rsc, usc, star_ptr, stw,
+        W, NP, BT, BLK, MAX_CHUNKS, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "is_meta", "closed", "S3", "has_nonsd"))
+def score_only(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
+               has_nonsd):
+    """Scoring without the DP — for differential tests vs the C engine."""
+    return _score_items(tables, geo, bin_idx, gidx, is_meta=is_meta,
+                        closed=closed, S3=S3, has_nonsd=has_nonsd)
