@@ -5,10 +5,16 @@
  * pyrodigal_tpu is differentially tested against it, and the CPU fallback
  * path of the framework uses it directly.
  *
- * The algorithmic behaviour follows the published Prodigal method as
- * specified by the reference implementation (citations given per function,
- * file:line of /root/reference).  The code itself is an original SoA
- * re-implementation, not a translation of the AoS reference.
+ * Provenance: the algorithmic behaviour follows the published Prodigal
+ * method as specified by the reference implementation (citations given per
+ * function, file:line of /root/reference).  Because this module's purpose
+ * is BIT-EXACT float64 equality with the reference, the arithmetic here
+ * necessarily mirrors the reference's operation order and pass structure
+ * closely (loop decomposition and much of the naming follow lib.pyx); the
+ * memory layout is struct-of-arrays rather than the reference's
+ * array-of-structs.  This file is the differential-test oracle and host
+ * finishing path; the product compute path is the JAX/Pallas pipeline in
+ * pyrodigal_tpu/ops/.
  *
  * Build: gcc -O2 -fPIC -shared refcore.c -o librefcore.so -lm
  */
