@@ -114,3 +114,54 @@ def test_batch_meta_runner_matches_c_path(data):
         assert all(
             x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b)
         )
+
+
+@needs_bins
+def test_tpu_meta_runner_matches_c_path(data):
+    """The fully on-device runner (device scoring + DP) must reproduce the
+    sequential C meta path for every contig: winner bin, coordinates, and
+    gene-data strings (interpret-mode Pallas on CPU)."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seqs = [
+        list(parse(data("KK037166.fna.gz")))[0].seq,
+        list(parse(data("SRR492066.fna.gz")))[0].seq[:30000],
+    ]
+    p = GeneFinder(meta=True)
+    anchor = [p.find_genes(s) for s in seqs]
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
+                           batch_size=8, interpret=True)
+    batched = runner.find_genes_batch(seqs)
+    for a, b in zip(anchor, batched):
+        assert b.metagenomic_bin.description == a.metagenomic_bin.description
+        assert len(a) == len(b)
+        assert [(g.begin, g.end, g.strand) for g in b] == \
+            [(g.begin, g.end, g.strand) for g in a]
+        assert all(
+            x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b)
+        )
+
+
+@needs_bins
+@pytest.mark.parametrize("closed,mask", [(True, False), (False, True)])
+def test_tpu_meta_runner_closed_mask(data, closed, mask):
+    """closed=True and mask=True must flow through the on-device scoring."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:30000]
+    if mask:
+        seq = seq[:12000] + "N" * 120 + seq[12000:]
+    p = GeneFinder(meta=True, closed=closed, mask=mask)
+    a = p.find_genes(seq)
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
+                           batch_size=8, closed=closed, mask=mask,
+                           interpret=True)
+    b = runner.find_genes_batch([seq])[0]
+    assert b.metagenomic_bin.description == a.metagenomic_bin.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
