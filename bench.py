@@ -10,10 +10,11 @@ one chip".  The baseline is the reference's best published CPU throughput
 (2.149 Mbp/s, single mode, 1 core — see BASELINE.md; reference meta mode
 is strictly slower per bp, so this is a conservative denominator).
 
-The TPU path batches (contig, bin) work items into fixed-shape launches of
-the VMEM-resident Pallas DP kernel; host scoring runs in a thread pool on
-the exact C engine.  A persistent compilation cache makes the kernel
-compile a one-time cost.
+The product path (`GeneFinder.find_genes_batch` with backend detection)
+batches (contig, bin) work items into fixed-shape launches of the fused
+on-device scoring + Pallas DP pipeline; only the digit sequences and core
+node fields cross the host-device link.  A persistent compilation cache
+makes the kernel compile a one-time cost.
 """
 
 import json
@@ -46,24 +47,23 @@ def data(name):
 
 def main():
     from pyrodigal_tpu.fasta import parse
-    from pyrodigal_tpu.metagenomic import METAGENOMIC_BINS
-    from pyrodigal_tpu.ops.meta_batch import BatchMetaRunner
+    from pyrodigal_tpu import GeneFinder
 
     import jax
     platform = jax.devices()[0].platform
 
-    # workload: GCF genome chopped into 80kb contigs
+    # workload: GCF genome chopped into 40kb contigs
     records = list(parse(data("GCF_001457455.1_NCTC11397_genomic.fna.gz")))
     genome = "".join(r.seq for r in records)
     CHUNK = 40_000
     contigs = [genome[i:i + CHUNK] for i in range(0, len(genome), CHUNK)]
     contigs = [c for c in contigs if len(c) >= 20_000]
 
-    runner = BatchMetaRunner(METAGENOMIC_BINS)
+    finder = GeneFinder(meta=True)
 
     # warmup (compile)
     t0 = time.time()
-    warm = runner.find_genes_batch(contigs[:2])
+    warm = finder.find_genes_batch(contigs[:2])
     warmup_s = time.time() - t0
     n_warm_genes = sum(len(g) for g in warm)
 
@@ -71,7 +71,7 @@ def main():
     work = contigs[2:]
     total_bp = sum(len(c) for c in work)
     t0 = time.time()
-    results = runner.find_genes_batch(work)
+    results = finder.find_genes_batch(work)
     elapsed = time.time() - t0
     n_genes = sum(len(g) for g in results)
 

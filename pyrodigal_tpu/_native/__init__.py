@@ -151,6 +151,7 @@ _lib.rc_motif_candidates.argtypes = [c_u8p, ctypes.c_int, _NP, c_i32p]
 _lib.rc_star_candidates.argtypes = [_NP, ctypes.c_int, ctypes.c_int, c_i32p]
 _lib.rc_star_candidates.restype = ctypes.c_int
 _lib.rc_stop_real.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_int, c_u8p]
+_lib.rc_sd_cand_luts.argtypes = [c_i32p, c_i32p]
 _lib.rc_edge_ups_flags.argtypes = [_NP, ctypes.c_int, ctypes.c_int, c_u8p]
 
 lib = _lib

@@ -2208,6 +2208,24 @@ void rc_motif_candidates(const uint8_t *d, int slen, const nodes_t *nd,
     }
 }
 
+/* -- SD candidate-mask lookup tables -----------------------------------------
+ * The mask functions above depend only on the 6 bases at the scan position
+ * (A/G membership — hence only on the 6-mer code, with N folding to C like
+ * mer_ndx does) and on the distance start-pos in [6, 20].  Tabulate both
+ * masks as (15, 4096) tables so the device derives every node's candidate
+ * masks from the on-device 6-mer code arrays with two gathers. */
+void rc_sd_cand_luts(int32_t *ex, int32_t *mm) {
+    uint8_t buf[6];
+    int sp, code, j;
+    for (sp = 6; sp <= 20; sp++) {
+        for (code = 0; code < 4096; code++) {
+            for (j = 0; j < 6; j++) buf[j] = (uint8_t)((code >> (2 * j)) & 3);
+            ex[(sp - 6) * 4096 + code] = sd_exact_cand_mask(buf, 6, 0, sp, 1);
+            mm[(sp - 6) * 4096 + code] = sd_mm_cand_mask(buf, 6, 0, sp, 1);
+        }
+    }
+}
+
 /* -- star-pointer candidate lists -------------------------------------------
  * For every stop node, the start nodes its flag=1 overlapping-start scan
  * (reference: lib.pyx:2279-2329) would visit, in exact scan order.  The

@@ -1,28 +1,25 @@
-"""Prodigal-compatible command line (reference: cli.py:64-323).
+"""Prodigal-compatible command line (flag surface: reference cli.py:64-206).
 
-Supports the original Prodigal flags plus `-j/--jobs`, `--pool`,
-`--min-gene`, `--min-edge-gene`, `--max-overlap`, `--no-stop-codon`,
-and the TPU batch runner via `--backend {refcore,jax}`.
+The driver is organised around an output sink and two mode runners:
+single mode trains on the joined contigs then maps `find_genes` over a
+worker pool, while meta mode streams contigs through
+`GeneFinder.find_genes_batch` so the batched on-device (contig, bin)
+sweep is the product path on accelerator hosts.
 """
 
 import argparse
-import contextlib
-import functools
 import os
 import sys
-import typing
 import warnings
-
-try:
-    import multiprocessing.pool
-except ImportError:
-    multiprocessing = None
 
 from .__about__ import __version__
 from ._constants import TRANSLATION_TABLES
 from .gene_finder import GeneFinder
 from .training import TrainingInfo
 from .fasta import parse, zopen
+
+#: contigs per device launch group in meta mode
+META_BATCH = 512
 
 
 def argument_parser(
@@ -84,100 +81,148 @@ def argument_parser(
     parser.add_argument("--backend", action="store",
                         choices=("detect", "refcore", "jax"), default="detect",
                         help="Compute backend: the exact C engine or the batched JAX/TPU pipeline.")
+    parser.add_argument("--meta-batch", type=int, default=META_BATCH,
+                        help="Contigs per device launch group in meta mode.")
     return parser
 
 
-def _process(gene_finder, sequence):
-    if not sequence.id:
-        warnings.warn("Input file contains a sequence without identifier",
-                      stacklevel=2)
-    return sequence.id, gene_finder.find_genes(sequence.seq)
+class OutputSink:
+    """Owns every output stream of a run and writes one contig's results."""
+
+    def __init__(self, args, stdout):
+        self._files = []
+        self.format = args.f
+        self.include_stop = not args.no_stop_codon
+        self.main = stdout if args.o is None else self._open(args.o)
+        self.nuc = None if args.d is None else self._open(args.d)
+        self.prot = None if args.a is None else self._open(args.a)
+        self.scores = None if args.s is None else self._open(args.s)
+
+    def _open(self, path):
+        f = open(path, "w")
+        self._files.append(f)
+        return f
+
+    def emit(self, seq_id, genes):
+        if self.format == "gff":
+            genes.write_gff(self.main, seq_id)
+        else:
+            genes.write_genbank(self.main, seq_id)
+        if self.nuc is not None:
+            genes.write_genes(self.nuc, seq_id)
+        if self.prot is not None:
+            genes.write_translations(self.prot, seq_id,
+                                     include_stop=self.include_stop)
+        if self.scores is not None:
+            genes.write_scores(self.scores, seq_id)
+
+    def close(self):
+        for f in self._files:
+            f.close()
 
 
-def main(
-    argv: typing.Optional[typing.List[str]] = None,
-    stdout: typing.TextIO = sys.stdout,
-    stderr: typing.TextIO = sys.stderr,
-    stdin: typing.TextIO = sys.stdin,
-    *,
-    gene_finder_factory: typing.Callable[..., GeneFinder] = GeneFinder,
-) -> int:
+def _checked_ids(records):
+    for record in records:
+        if not record.id:
+            warnings.warn("Input file contains a sequence without identifier")
+        yield record
+
+
+def _make_pool(args):
+    """A map function over (fn, iterable) honoring -j/--pool."""
+    jobs = args.jobs if args.jobs != 0 else (os.cpu_count() or 1)
+    if jobs <= 1:
+        return None, map
+    import multiprocessing.pool
+
+    pool_type = (multiprocessing.pool.ThreadPool if args.pool == "thread"
+                 else multiprocessing.pool.Pool)
+    pool = pool_type(jobs)
+    return pool, pool.map
+
+
+def _run_single(args, finder, records, sink):
+    records = list(_checked_ids(records))
+    if finder.training_info is None:
+        tinf = finder.train(
+            *(r.seq for r in records),
+            force_nonsd=args.n,
+            translation_table=args.g,
+        )
+        if args.t is not None and not os.path.exists(args.t):
+            with open(args.t, "wb") as f:
+                tinf.dump(f)
+    pool, pmap = _make_pool(args)
+    try:
+        for record, genes in zip(records,
+                                 pmap(finder.find_genes,
+                                      (r.seq for r in records))):
+            sink.emit(record.id, genes)
+    finally:
+        if pool is not None:
+            pool.terminate()
+
+
+def _run_meta(args, finder, records, sink):
+    """Stream contigs through the batched meta pipeline, `--meta-batch`
+    contigs per launch group, preserving input order in the output."""
+    records = _checked_ids(records)
+    group = []
+    while True:
+        for record in records:
+            group.append(record)
+            if len(group) >= args.meta_batch:
+                break
+        if not group:
+            break
+        for record, genes in zip(
+            group, finder.find_genes_batch([r.seq for r in group])
+        ):
+            sink.emit(record.id, genes)
+        group = []
+
+
+def main(argv=None, stdout=None, stderr=None, stdin=None):
+    stdout = sys.stdout if stdout is None else stdout
+    stderr = sys.stderr if stderr is None else stderr
+    stdin = sys.stdin if stdin is None else stdin
     parser = argument_parser(input_required=stdin.isatty())
     args = parser.parse_args(argv)
 
-    with contextlib.ExitStack() as ctx:
+    training_info = None
+    if args.t is not None:
+        if args.p == "meta":
+            print("Error: cannot specify metagenomic sequence with a "
+                  "training file.", file=stderr)
+            return 1
+        if os.path.exists(args.t):
+            with open(args.t, "rb") as f:
+                training_info = TrainingInfo.load(f)
+
+    try:
+        finder = GeneFinder(
+            meta=args.p == "meta",
+            closed=args.c,
+            mask=args.m,
+            training_info=training_info,
+            min_gene=args.min_gene,
+            min_edge_gene=args.min_edge_gene,
+            max_overlap=args.max_overlap,
+            backend=args.backend,
+        )
+        source = stdin if args.i is None else zopen(args.i)
+        sink = OutputSink(args, stdout)
         try:
-            nuc_file = None if args.d is None else ctx.enter_context(open(args.d, "w"))
-            prot_file = None if args.a is None else ctx.enter_context(open(args.a, "w"))
-            scores_file = None if args.s is None else ctx.enter_context(open(args.s, "w"))
-            out_file = stdout if args.o is None else ctx.enter_context(open(args.o, "w"))
-
-            # load training info
-            training_info = None
-            if args.t is not None:
-                if args.p == "meta":
-                    print("Error: cannot specify metagenomic sequence with "
-                          "a training file.", file=stderr)
-                    return 1
-                elif os.path.exists(args.t):
-                    with open(args.t, "rb") as f:
-                        training_info = TrainingInfo.load(f)
-
-            input_file = stdin if args.i is None else ctx.enter_context(zopen(args.i))
-
-            gene_finder = gene_finder_factory(
-                meta=args.p == "meta",
-                closed=args.c,
-                mask=args.m,
-                training_info=training_info,
-                min_gene=args.min_gene,
-                min_edge_gene=args.min_edge_gene,
-                max_overlap=args.max_overlap,
-                backend=args.backend,
-            )
-
-            # train first in single mode (all contigs joined, like Prodigal)
-            if args.p == "single" and training_info is None:
-                sequences = list(parse(input_file))
-                training_info = gene_finder.train(
-                    *(seq.seq for seq in sequences),
-                    force_nonsd=args.n,
-                    translation_table=args.g,
-                )
-                if args.t is not None and not os.path.exists(args.t):
-                    with open(args.t, "wb") as f:
-                        training_info.dump(f)
+            records = parse(source)
+            if args.p == "meta":
+                _run_meta(args, finder, records, sink)
             else:
-                sequences = parse(input_file)
-
-            if args.jobs == 0:
-                args.jobs = os.cpu_count() or 1
-            if args.jobs > 1 and multiprocessing is not None:
-                if args.pool == "thread":
-                    pool = ctx.enter_context(multiprocessing.pool.ThreadPool(args.jobs))
-                else:
-                    pool = ctx.enter_context(multiprocessing.pool.Pool(args.jobs))
-                parallel_map = pool.map
-            else:
-                parallel_map = map
-
-            process = functools.partial(_process, gene_finder)
-            for seq_id, preds in parallel_map(process, sequences):
-                if args.f == "gff":
-                    preds.write_gff(out_file, seq_id)
-                elif args.f == "gbk":
-                    preds.write_genbank(out_file, seq_id)
-                if nuc_file is not None:
-                    preds.write_genes(nuc_file, seq_id)
-                if prot_file is not None:
-                    preds.write_translations(
-                        prot_file, seq_id, include_stop=not args.no_stop_codon
-                    )
-                if scores_file is not None:
-                    preds.write_scores(scores_file, seq_id)
-
-        except Exception as err:
-            print("Error: {}".format(err), file=stderr)
-            return getattr(err, "errno", 1)
-        else:
-            return 0
+                _run_single(args, finder, records, sink)
+        finally:
+            sink.close()
+            if source is not stdin:
+                source.close()
+    except Exception as err:
+        print("Error: {}".format(err), file=stderr)
+        return getattr(err, "errno", 1)
+    return 0

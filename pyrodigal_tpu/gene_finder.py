@@ -62,11 +62,45 @@ class GeneFinder:
         self.max_overlap = max_overlap
         self.backend = backend
         self._num_seq = 1
+        self._meta_runner = None
         if metagenomic_bins is None:
             from .metagenomic import METAGENOMIC_BINS
             self.metagenomic_bins = METAGENOMIC_BINS
         else:
             self.metagenomic_bins = metagenomic_bins
+
+    def _resolve_backend(self):
+        """Resolve ``backend="detect"`` against the available hardware:
+        an accelerator selects the batched JAX/Pallas pipeline, a
+        CPU-only host keeps the exact C engine (reference dispatch
+        analog: lib.pyx:1359-1432)."""
+        if self.backend in ("jax", "tpu"):
+            return "jax"
+        if self.backend == "detect":
+            try:
+                import jax
+
+                if jax.devices()[0].platform in ("tpu", "gpu"):
+                    return "jax"
+            except Exception:
+                pass
+        return "refcore"
+
+    def _get_meta_runner(self):
+        with self.lock:
+            if self._meta_runner is None:
+                from .ops.meta_tpu import TpuMetaRunner
+
+                self._meta_runner = TpuMetaRunner(
+                    self.metagenomic_bins,
+                    closed=self.closed,
+                    mask=self.mask,
+                    min_mask=self.min_mask,
+                    min_gene=self.min_gene,
+                    min_edge_gene=self.min_edge_gene,
+                    max_overlap=self.max_overlap,
+                )
+            return self._meta_runner
 
     def __repr__(self):
         template = []
@@ -238,6 +272,14 @@ class GeneFinder:
             raise RuntimeError(
                 "cannot find genes without having trained in single mode"
             )
+        if self.meta and len(self.metagenomic_bins) > 0 \
+                and self._resolve_backend() == "jax":
+            with self.lock:
+                num_seq = self._num_seq
+                self._num_seq += 1
+            runner = self._get_meta_runner()
+            return runner.find_genes_batch([sequence],
+                                           num_seq_start=num_seq)[0]
         seq = Sequence(sequence, mask=self.mask, mask_size=self.min_mask)
         nodes = Nodes()
         genes = Genes()
@@ -262,6 +304,28 @@ class GeneFinder:
         genes.training_info = tinf
         genes.meta = self.meta
         return genes
+
+    def find_genes_batch(self, sequences):
+        """Find genes in a batch of input sequences.
+
+        In meta mode on an accelerator backend this sweeps all
+        (contig, bin) work items through the batched on-device
+        scoring + DP pipeline; otherwise it maps `find_genes`.
+        """
+        sequences = list(sequences)
+        if not self.meta and self.training_info is None:
+            raise RuntimeError(
+                "cannot find genes without having trained in single mode"
+            )
+        if self.meta and len(self.metagenomic_bins) > 0 \
+                and self._resolve_backend() == "jax":
+            with self.lock:
+                num_seq = self._num_seq
+                self._num_seq += len(sequences)
+            runner = self._get_meta_runner()
+            return runner.find_genes_batch(sequences,
+                                           num_seq_start=num_seq)
+        return [self.find_genes(s) for s in sequences]
 
     def train(self, sequence, *sequences, force_nonsd=False,
               start_weight=4.35, translation_table=11):

@@ -897,3 +897,11 @@ def _gather_rows(score, traceb, ov, idx):
     """Fixed-shape winner-row gather (idx padded to a constant length) so
     repeated pulls never trigger a recompile."""
     return score[idx], traceb[idx], ov[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("W", "NB"))
+def _gather_rows_w(score, traceb, ov, idx, W, NB):
+    """Winner-row gather sliced to the logical node columns on device, so
+    only NB columns per row cross the device→host link (traceback VALUES
+    stay physical; the caller shifts them by -W)."""
+    return (score[idx, W:W + NB], traceb[idx, W:W + NB], ov[idx, W:W + NB])

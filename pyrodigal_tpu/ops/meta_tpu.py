@@ -26,8 +26,8 @@ class TpuMetaRunner:
     def __init__(self, metagenomic_bins, *, closed=False, min_gene=90,
                  min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
                  node_bucket=3072, seq_bucket=49152, batch_size=128,
-                 block_size=8, max_geoms=16, star_k=24, window=1024,
-                 prep_threads=2, interpret=False):
+                 block_size=8, max_geoms=16, relk=32, window=1024,
+                 prep_threads=8, interpret=False):
         self.bins = metagenomic_bins
         self.closed = closed
         self.min_gene = min_gene
@@ -41,7 +41,7 @@ class TpuMetaRunner:
             * block_size
         self.block_size = block_size
         self.max_geoms = max_geoms
-        self.star_k = star_k
+        self.relk = relk
         self.window = window
         self.interpret = interpret
         self.tables = sd.BinTables(metagenomic_bins)
@@ -75,7 +75,7 @@ class TpuMetaRunner:
             nodes.sort()
             nodes_by_tt[tt] = nodes
             g = sd.prepare_geometry(seq, nodes, tt, self.closed,
-                                    self.max_overlap, self.star_k)
+                                    self.max_overlap, self.relk)
             nn = g["nn"]
             if (nn > self.node_bucket or g["star_overflow"]
                     or (nn and int((np.arange(nn) - g["win_lo"]).max())
@@ -96,8 +96,7 @@ class TpuMetaRunner:
         S = self.seq_bucket
         keys = list(geoms.keys())
         gmap = {k: i for i, k in enumerate(keys)}
-        packed = sd.pack_geometries([geoms[k] for k in keys], G, n, S,
-                                    self.star_k)
+        packed = sd.pack_geometries([geoms[k] for k in keys], G, n, S)
         bin_idx = np.zeros(BT, np.int32)
         gidx = np.zeros(BT, np.int32)
         for k, (_ci, b, gkey) in enumerate(work):
@@ -110,7 +109,8 @@ class TpuMetaRunner:
             self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
             jnp.asarray(gidx),
             is_meta=True, closed=self.closed, S3=S // 3,
-            has_nonsd=self.tables.any_nonsd, W=W, NP=NP,
+            has_nonsd=self.tables.any_nonsd, relk=self.relk,
+            max_overlap=self.max_overlap, W=W, NP=NP,
             BLK=self.block_size, MAX_CHUNKS=dp_pallas.FIXED_CHUNKS,
             interpret=self.interpret)
         return {"score": score, "traceb": traceb, "ov": ov, "best": best,
@@ -209,8 +209,9 @@ class TpuMetaRunner:
                 idx = np.zeros(K, np.int32)
                 for w, (_ci, k) in enumerate(chunk):
                     idx[w] = k
-                rows_s, rows_t, rows_o = dp_pallas._gather_rows(
-                    r["score"], r["traceb"], r["ov"], jnp.asarray(idx))
+                rows_s, rows_t, rows_o = dp_pallas._gather_rows_w(
+                    r["score"], r["traceb"], r["ov"], jnp.asarray(idx),
+                    W=r["W"], NB=self.node_bucket)
                 rows_s = np.asarray(rows_s)
                 rows_t = np.asarray(rows_t)
                 rows_o = np.asarray(rows_o)
@@ -241,10 +242,10 @@ class TpuMetaRunner:
                 nodes = self._score_winner(seq, nodes_maps[ci], b)
                 rows_s, rows_t, rows_o, W = win_rows[ci]
                 nn = nodes.length
-                tb = rows_t[W:W + nn] - W
+                tb = rows_t[:nn] - W
                 tb = np.where(tb >= -1, tb, -1)
                 self._finish(genes, seq, b, nodes,
-                             (rows_s[W:W + nn], tb, rows_o[W:W + nn]))
+                             (rows_s[:nn], tb, rows_o[:nn]))
             else:
                 genes.nodes = Nodes()
                 genes.metagenomic_bin = None

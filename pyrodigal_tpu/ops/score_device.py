@@ -7,10 +7,11 @@ whole per-bin pipeline runs on the accelerator:
 
 * the 50 models' tables (gene_dc, rbs_wt, ups_comp, mot_wt, type_wt, ...)
   are uploaded ONCE and stay device-resident;
-* per contig, only *sequence-derived index tensors* cross the link (once
-  per translation table): 6-mer codes, SD candidate masks, upstream-mer
-  one-hots, motif candidate indices, star-candidate lists — all
-  bin-independent, produced by the C engine / numpy
+* per contig, only the *digit sequence* and the core node fields cross the
+  link (~100 KB per contig): every candidate tensor — 6-mer codes, SD
+  candidate masks (via (15, 4096) lookup tables of the scanners' candidate
+  sets), upstream mers, motif candidate indices, star-candidate windows —
+  is derived ON DEVICE from the digits + node positions
   (reference: lib.pyx:2119-2239, 791-979, 1556-1650, 2279-2329);
 * scoring for a whole batch of (contig, bin) work items becomes gathers,
   segmented scans and elementwise selects over (BT, n) tensors, fused by
@@ -41,6 +42,15 @@ F32 = jnp.float32
 # --------------------------------------------------------------------------
 # device-resident per-bin tables
 # --------------------------------------------------------------------------
+
+def _sd_luts():
+    """The SD scanners' candidate-set masks, tabulated over (distance,
+    6-mer) — see rc_sd_cand_luts (reference: lib.pyx:791-979)."""
+    ex = np.zeros((15, 4096), np.int32)
+    mm = np.zeros((15, 4096), np.int32)
+    _native.lib.rc_sd_cand_luts(_native.i32(ex), _native.i32(mm))
+    return ex.reshape(-1), mm.reshape(-1)
+
 
 class BinTables:
     """Stacked per-bin training tables, uploaded once."""
@@ -92,11 +102,15 @@ class BinTables:
         self.lfac_min = jnp.asarray(lfac_min)
         self.lfac_max = jnp.asarray(lfac_max)
         self.any_nonsd = bool((uses_sd == 0).any())
+        sd_ex, sd_mm = _sd_luts()
+        self.sd_ex = jnp.asarray(sd_ex)
+        self.sd_mm = jnp.asarray(sd_mm)
 
     def as_tuple(self):
         return (self.gene_dc, self.rbs_wt, self.ups_comp, self.type_wt,
                 self.mot_wt, self.st_wt, self.no_mot, self.uses_sd,
-                self.log_no_stop, self.lfac_min, self.lfac_max)
+                self.log_no_stop, self.lfac_min, self.lfac_max,
+                self.sd_ex, self.sd_mm)
 
 
 # --------------------------------------------------------------------------
@@ -120,30 +134,20 @@ def sixmer_codes(digits):
     return m6f, m6r
 
 
-def prepare_geometry(seq, nodes, tt, closed, max_overlap, star_k):
-    """All bin-independent tensors for one (contig, translation table).
+def prepare_geometry(seq, nodes, tt, closed, max_overlap, relk):
+    """Bin-independent host tensors for one (contig, translation table).
 
-    Returns a dict of numpy arrays (unpadded) plus `star_overflow` when the
-    star-candidate lists exceed `star_k` (caller falls back to the host
-    path)."""
+    Slim by design: only the digit sequence and the core node fields cross
+    the host→device link; everything else (6-mer codes, SD masks, upstream
+    mers, motif/star candidates) is derived on device.  `star_overflow` is
+    set when some stop's star-candidate scan spans more than `relk` node
+    indices (caller falls back to the host path; reference scan bounds:
+    lib.pyx:2279-2329)."""
     nn = nodes.length
     slen = seq.slen
     s = nodes._struct()
     lib = _native.lib
 
-    rbs_ex = np.zeros((nn, 15), np.int32)
-    rbs_mm = np.zeros((nn, 15), np.int32)
-    lib.rc_rbs_candidates(_native.u8(seq.digits), slen, ctypes.byref(s),
-                          _native.i32(rbs_ex), _native.i32(rbs_mm))
-    ups = np.full((nn, 32), -1, np.int8)
-    lib.rc_ups_mers(_native.u8(seq.digits), slen, ctypes.byref(s),
-                    _native.i8(ups))
-    mot = np.full((nn, 52), -1, np.int32)
-    lib.rc_motif_candidates(_native.u8(seq.digits), slen, ctypes.byref(s),
-                            _native.i32(mot))
-    star = np.full((nn, star_k), -1, np.int32)
-    maxk = lib.rc_star_candidates(ctypes.byref(s), max_overlap, star_k,
-                                  _native.i32(star))
     stop_real = np.zeros(nn, np.uint8)
     lib.rc_stop_real(_native.u8(seq.digits), slen, ctypes.byref(s), tt,
                      _native.u8(stop_real))
@@ -151,67 +155,65 @@ def prepare_geometry(seq, nodes, tt, closed, max_overlap, star_k):
     lib.rc_edge_ups_flags(ctypes.byref(s), slen, int(closed),
                           _native.u8(euf))
 
+    ndx = nodes.ndx[:nn]
+    typ = nodes.type[:nn]
+    strand = nodes.strand[:nn]
+    edge = nodes.edge[:nn]
+
     win_lo = dp_jax.window_starts(
-        nodes.ndx[:nn].astype(np.int64), nodes.stop_val[:nn].astype(np.int64),
-        nodes.type[:nn], nodes.strand[:nn]).astype(np.int32)
+        ndx.astype(np.int64), nodes.stop_val[:nn].astype(np.int64),
+        typ, strand).astype(np.int32)
 
-    # upstream-composition one-hot: slot*4 + mer for the valid slots
-    c_ups = np.zeros((nn, 128), np.uint8)
-    slots = np.arange(32)[None, :]
-    validu = ups >= 0
-    flat = slots * 4 + np.where(validu, ups, 0)
-    rows = np.repeat(np.arange(nn)[:, None], 32, axis=1)
-    np.add.at(c_ups, (rows[validu], flat[validu]), 1)
-
-    m6f, m6r = sixmer_codes(seq.digits)
+    # star-candidate scan span (node indices), for the fixed device window
+    idx = np.arange(nn)
+    span = 0
+    fstop = (typ == STOP) & (strand == 1) & (edge == 0)
+    rstop = (typ == STOP) & (strand == -1) & (edge == 0)
+    if fstop.any():
+        jmin = np.searchsorted(ndx, ndx[fstop] - max_overlap, side="left")
+        span = max(span, int((idx[fstop] + 3 - jmin).max()) + 1)
+    if rstop.any():
+        jmax = np.searchsorted(ndx, ndx[rstop] + max_overlap,
+                               side="right") - 1
+        span = max(span, int((jmax - idx[rstop] + 3).max()) + 1)
 
     return {
         "nn": nn, "slen": slen, "tt": tt,
-        "ndx": nodes.ndx[:nn].astype(np.int32),
+        "ndx": ndx.astype(np.int32),
         "stop_val": nodes.stop_val[:nn].astype(np.int32),
-        "typ": nodes.type[:nn].astype(np.int32),
-        "strand": nodes.strand[:nn].astype(np.int32),
-        "edge": nodes.edge[:nn].astype(np.int32),
-        "stop_real": stop_real.astype(np.int32),
-        "euf": euf.astype(np.int32),
         "win_lo": win_lo,
-        "rbs_ex": rbs_ex, "rbs_mm": rbs_mm,
-        "mot": mot, "star": star, "c_ups": c_ups,
-        "m6f": m6f.astype(np.int16), "m6r": m6r.astype(np.int16),
-        "star_overflow": maxk > star_k,
+        "typ": typ.astype(np.int8),
+        "strand": strand.astype(np.int8),
+        "edge": edge.astype(np.int8),
+        "stop_real": stop_real.astype(np.int8),
+        "euf": euf.astype(np.int8),
+        "digits": seq.digits,
+        "star_overflow": span > relk,
     }
 
 
-GEO_NODE_I32 = ("ndx", "stop_val", "typ", "strand", "edge", "stop_real",
-                "euf", "win_lo", "valid")
+GEO_I32 = ("ndx", "stop_val", "win_lo")
+GEO_I8 = ("typ", "strand", "edge", "stop_real", "euf", "valid")
 
 
-def pack_geometries(geoms, G, n, S, star_k):
+def pack_geometries(geoms, G, n, S):
     """Stack geometry dicts into fixed-shape arrays for one launch."""
     out = {
-        "node": np.zeros((len(GEO_NODE_I32), G, n), np.int32),
-        "rbs_ex": np.zeros((G, n, 15), np.int32),
-        "rbs_mm": np.zeros((G, n, 15), np.int32),
-        "mot": np.full((G, n, 52), -1, np.int32),
-        "star": np.full((G, n, star_k), -1, np.int32),
-        "c_ups": np.zeros((G, n, 128), np.uint8),
-        "m6": np.zeros((2, G, S), np.int16),
+        "n32": np.zeros((len(GEO_I32), G, n), np.int32),
+        "n8": np.zeros((len(GEO_I8), G, n), np.int8),
+        "digits": np.zeros((G, S), np.uint8),
         "slen": np.zeros(G, np.int32),
     }
-    out["node"][3] = 1          # strand pad
+    out["n8"][1] = 1          # strand pad
     for gi, gd in enumerate(geoms):
         nn = gd["nn"]
-        for fi, f in enumerate(GEO_NODE_I32[:-1]):
-            out["node"][fi, gi, :nn] = gd[f]
-        out["node"][8, gi, :nn] = 1                      # valid
-        out["node"][7, gi, nn:] = np.arange(nn, n)       # win_lo pad
-        out["rbs_ex"][gi, :nn] = gd["rbs_ex"]
-        out["rbs_mm"][gi, :nn] = gd["rbs_mm"]
-        out["mot"][gi, :nn] = gd["mot"]
-        out["star"][gi, :nn] = gd["star"]
-        out["c_ups"][gi, :nn] = gd["c_ups"]
-        out["m6"][0, gi, :gd["slen"]] = gd["m6f"]
-        out["m6"][1, gi, :gd["slen"]] = gd["m6r"]
+        for fi, f in enumerate(GEO_I32):
+            out["n32"][fi, gi, :nn] = gd[f]
+        out["n32"][2, gi, nn:] = np.arange(nn, n)        # win_lo pad
+        for fi, f in enumerate(GEO_I8[:-1]):
+            out["n8"][fi, gi, :nn] = gd[f]
+        out["n8"][5, gi, :nn] = 1                        # valid
+        out["digits"][gi, :gd["slen"]] = gd["digits"]
         out["slen"][gi] = gd["slen"]
     return out
 
@@ -281,17 +283,121 @@ def _gat(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
+def _derive_m6(geo):
+    """On-device 6-mer code arrays (G, S) from the digit sequences, with
+    mer_ndx semantics (N folds to C; reference: _sequence.h mer_ndx)."""
+    d = geo["digits"].astype(jnp.int32)                # (G, S)
+    G, S = d.shape
+    b = d & 3
+    bc = jnp.where(d < 4, 3 - b, 2)
+    bp = jnp.pad(b, ((0, 0), (0, 6)))
+    bcp = jnp.pad(bc, ((0, 0), (6, 0)))
+    m6f = sum((bp[:, k:k + S] << (2 * k)) for k in range(6))
+    m6r = sum((bcp[:, 6 - k:6 - k + S] << (2 * k)) for k in range(6))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    m6r = jnp.where(pos < geo["slen"][:, None], m6r, 0)
+    return m6f, m6r
+
+
+def _gat3(a, idx):
+    """Gather (G, S) array at (G, n, K) indices -> (G, n, K)."""
+    G, n, K = idx.shape
+    return jnp.take_along_axis(a, idx.reshape(G, n * K),
+                               axis=1).reshape(G, n, K)
+
+
+# motif-candidate slot constants (reference: lib.pyx:1556-1616 scan order:
+# motif length 6..3 = i 3..0, then 13 window positions ascending)
+def _motif_slots():
+    o = np.zeros(52, np.int32)
+    sp = np.zeros(52, np.int32)
+    ln = np.zeros(52, np.int32)
+    for i in range(3, -1, -1):
+        for s in range(13):
+            off = s - 18 - i
+            if off <= -16 - i:
+                spc = 3
+            elif off <= -14 - i:
+                spc = 2
+            elif off >= -7 - i:
+                spc = 1
+            else:
+                spc = 0
+            slot = (3 - i) * 13 + s
+            o[slot], sp[slot], ln[slot] = off, spc, i
+    return o, sp, ln
+
+
+_MOT_O, _MOT_SP, _MOT_LEN = _motif_slots()
+
+
+def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
+    """Per-geometry candidate tensors, all on device (validated against the
+    C precompute rc_rbs_candidates/rc_ups_mers/rc_motif_candidates)."""
+    g_ndx = geo["n32"][0]                              # (G, n)
+    n8 = geo["n8"].astype(jnp.int32)
+    g_typ, g_strand, g_edge = n8[0], n8[1], n8[2]
+    G, n = g_ndx.shape
+    slen = geo["slen"][:, None, None]                  # (G,1,1)
+    fwd = (g_strand == 1)[..., None]
+    is_start = (g_typ != STOP)[..., None]
+    not_edge = (g_edge == 0)[..., None]
+    nd = g_ndx[..., None]
+
+    # SD candidate masks over the 15 window positions
+    p = jnp.arange(15)[None, None, :]
+    idx = jnp.where(fwd, nd - 20 + p, nd + 20 - p)
+    ok = (idx >= 0) & is_start & not_edge
+    idxc = jnp.clip(idx, 0, m6f.shape[1] - 1)
+    code = jnp.where(fwd, _gat3(m6f, idxc), _gat3(m6r, idxc))
+    flat = (14 - p) * 4096 + code
+    rbs_ex = jnp.where(ok, jnp.take(sd_ex, flat.reshape(-1),
+                                    axis=0).reshape(G, n, 15), 0)
+    rbs_mm = jnp.where(ok, jnp.take(sd_mm, flat.reshape(-1),
+                                    axis=0).reshape(G, n, 15), 0)
+
+    # upstream-composition mers: slots 0-1 = -1,-2; 2-31 = -15..-44
+    ks = jnp.asarray(np.array([1, 2] + list(range(15, 45)),
+                              np.int32))[None, None, :]
+    start_coord = jnp.where(fwd, nd, slen - 1 - nd)
+    uok = (ks <= start_coord) & is_start
+    uidx = jnp.clip(jnp.where(fwd, nd - ks, nd + ks), 0, m6f.shape[1] - 1)
+    umer = jnp.where(fwd, _gat3(m6f, uidx), _gat3(m6r, uidx)) & 3
+    ups_flat = jnp.where(uok, jnp.arange(32)[None, None, :] * 4 + umer, 0)
+
+    mot = None
+    if has_nonsd:
+        o = jnp.asarray(_MOT_O)[None, None, :]
+        mok = (start_coord + o >= 0) & is_start & not_edge
+        midx = jnp.clip(jnp.where(fwd, nd + o, nd - o), 0,
+                        m6f.shape[1] - 1)
+        mmask = jnp.asarray((1 << (2 * (_MOT_LEN + 3))) - 1)[None, None, :]
+        mmer = jnp.where(fwd, _gat3(m6f, midx), _gat3(m6r, midx)) & mmask
+        mot = jnp.where(
+            mok,
+            jnp.asarray(_MOT_LEN)[None, None, :] * 16384
+            + jnp.asarray(_MOT_SP)[None, None, :] * 4096 + mmer,
+            -1)
+
+    return rbs_ex, rbs_mm, ups_flat, uok, mot
+
+
 def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
-                 has_nonsd):
+                 has_nonsd, relk, max_overlap):
     """Compute cscore/sscore/rscore/uscore and star pointers for a batch of
     (contig, bin) work items (reference: lib.pyx:2119-2487, 2279-2329)."""
     (gene_dc, rbs_wt, ups_comp, type_wt, mot_wt, st_wt_t, no_mot_t,
-     uses_sd_t, log_ns_t, lfmin_t, lfmax_t) = tables
+     uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm) = tables
 
-    node = jnp.take(geo["node"], gidx, axis=1)        # (9, BT, n)
-    (ndx, stop_val, typ, strand, edge, stop_real, euf, win_lo,
-     valid) = (node[k] for k in range(len(GEO_NODE_I32)))
+    n32 = jnp.take(geo["n32"], gidx, axis=1)           # (3, BT, n)
+    ndx, stop_val, win_lo = (n32[k] for k in range(3))
+    n8 = jnp.take(geo["n8"], gidx, axis=1).astype(jnp.int32)
+    typ, strand, edge, stop_real, euf, valid = (n8[k] for k in range(6))
     BT, n = ndx.shape
+
+    m6f, m6r = _derive_m6(geo)
+    g_rbs_ex, g_rbs_mm, g_ups_flat, g_uok, g_mot = _derive_candidates(
+        geo, m6f, m6r, sd_ex, sd_mm, has_nonsd)
 
     stw = st_wt_t[bin_idx][:, None]                    # (BT, 1)
     slen = jnp.take(geo["slen"], gidx)[:, None]        # (BT, 1) int
@@ -304,7 +410,8 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
     # ---- cscore pass 1: hexamer sums as phase-wise prefix differences ----
     dcrow = gene_dc[bin_idx]                           # (BT, 4096)
-    m6 = jnp.take(geo["m6"], gidx, axis=1).astype(jnp.int32)   # (2, BT, S)
+    m6 = jnp.stack([m6f, m6r])
+    m6 = jnp.take(m6, gidx, axis=1)                    # (2, BT, S)
     dcf = _gat(dcrow, m6[0])
     dcr = _gat(dcrow, m6[1])
     S = dcf.shape[1]
@@ -361,14 +468,14 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
     # ---- RBS / SD score ---------------------------------------------------
     rbs_row = rbs_wt[bin_idx]                          # (BT, 28)
-    rbs0 = _rbs_winner(jnp.take(geo["rbs_ex"], gidx, axis=0), rbs_row)
-    rbs1 = _rbs_winner(jnp.take(geo["rbs_mm"], gidx, axis=0), rbs_row)
+    rbs0 = _rbs_winner(jnp.take(g_rbs_ex, gidx, axis=0), rbs_row)
+    rbs1 = _rbs_winner(jnp.take(g_rbs_mm, gidx, axis=0), rbs_row)
     w0 = _gat(rbs_row, rbs0)
     w1 = _gat(rbs_row, rbs1)
     sd_score = jnp.maximum(w0, w1) * stw
 
     if has_nonsd:
-        mid = jnp.take(geo["mot"], gidx, axis=0)       # (BT, n, 52)
+        mid = jnp.take(g_mot, gidx, axis=0)            # (BT, n, 52)
         mrow = mot_wt[bin_idx]                         # (BT, 65536)
         mv = _gat(mrow, jnp.clip(mid, 0, 65535).reshape(BT, -1))
         mv = mv.reshape(mid.shape)
@@ -390,11 +497,13 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     else:
         rscore = sd_score
 
-    # ---- upstream composition (einsum against all bins at once) ----------
-    c_ups = geo["c_ups"].astype(F32)                   # (G, n, 128)
-    u_all = jnp.einsum("gnu,bu->gbn", c_ups, ups_comp,
-                       precision=jax.lax.Precision.HIGHEST)
-    u_base = u_all[gidx, bin_idx] * (0.4 * stw)        # (BT, n)
+    # ---- upstream composition (per-slot gathers from each bin's table) ---
+    ups_flat = jnp.take(g_ups_flat, gidx, axis=0)      # (BT, n, 32)
+    uokb = jnp.take(g_uok, gidx, axis=0)
+    urow = ups_comp[bin_idx]                           # (BT, 128)
+    uvals = jnp.take_along_axis(
+        urow, ups_flat.reshape(BT, -1), axis=1).reshape(BT, n, 32)
+    u_base = jnp.sum(jnp.where(uokb, uvals, 0.0), axis=2) * (0.4 * stw)
 
     # ---- start score assembly (reference: lib.pyx:2331-2487) -------------
     edge0 = edge + (1 - stop_real)
@@ -458,22 +567,37 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     cscore = jnp.where(valid != 0, cscore, 0.0)
 
     # ---- star pointers, flag=1 (reference: lib.pyx:2279-2329) ------------
-    # Replay the global-running-max scan over the precomputed candidate
-    # lists; the running max is shared across frames, as in the reference.
-    starc = jnp.take(geo["star"], gidx, axis=0)        # (BT, n, K)
-    K = starc.shape[2]
+    # Replay the global-running-max scan over the candidate windows (the
+    # scan's node-index span is bounded; prepare_geometry verified it fits
+    # `relk`).  Candidates are derived on device: for a forward stop the
+    # scan walks j = i+3 down, for a reverse stop j = i-3 up, masked by the
+    # reference's geometric conditions.  The running max is shared across
+    # frames, as in the reference.
+    iidx = jnp.arange(n)[None, :]
+    fstop = stop & fwd & ~edgeb
+    rstop = stop & ~fwd & ~edgeb
     cs_tot = cscore + ssc
     runmax = jnp.full((BT, n), -100.0, F32)
     ptr = [jnp.full((BT, n), -1, jnp.int32) for _ in range(3)]
     ndx_i, rsc_i, usc_i = ndx, rsc, usc
-    for k in range(K):
-        j = starc[:, :, k]
-        ok = j >= 0
+    mo = max_overlap
+    for k in range(relk):
+        j = iidx + jnp.where(fstop, 3 - k, k - 3)
         jc = jnp.clip(j, 0, n - 1)
         ndx_j = _gat(ndx, jc)
         sc_j = _gat(cs_tot, jc)
         rsc_j = _gat(rsc, jc)
         usc_j = _gat(usc, jc)
+        typ_j = _gat(typ, jc)
+        str_j = _gat(strand, jc)
+        sv_j = _gat(stop_val, jc)
+        val_j = _gat(valid, jc)
+        okf = (fstop & (str_j == 1) & (ndx_j <= ndx + 2)
+               & (ndx_j + mo >= ndx) & (sv_j > ndx))
+        okr = (rstop & (str_j == -1) & (ndx_j >= ndx - 2)
+               & (ndx_j - mo <= ndx) & (sv_j < ndx))
+        ok = ((j >= 0) & (j < n) & (val_j != 0) & (typ_j != STOP)
+              & (okf | okr))
         igm_f = dp_pallas._igm_same_jnp(
             ndx_i, strand, rsc_i, usc_i, ndx_j, rsc_j, usc_j, stw)
         igm_r = dp_pallas._igm_same_jnp(
@@ -492,10 +616,11 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "is_meta", "closed", "S3", "has_nonsd", "W", "NP", "BLK", "MAX_CHUNKS",
-    "interpret"))
+    "is_meta", "closed", "S3", "has_nonsd", "relk", "max_overlap",
+    "W", "NP", "BLK", "MAX_CHUNKS", "interpret"))
 def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
-                    has_nonsd, W, NP, BLK, MAX_CHUNKS, interpret=False):
+                    has_nonsd, relk, max_overlap, W, NP, BLK, MAX_CHUNKS,
+                    interpret=False):
     """Fused on-device scoring + DP for one launch of work items.
 
     Returns (score, traceb, ovmark) over the padded node axis and the
@@ -503,7 +628,7 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     (ndx, stop_val, typ, strand, win_lo, valid,
      cscore, ssc, rsc, usc, star_ptr, stw) = _score_items(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
-        S3=S3, has_nonsd=has_nonsd)
+        S3=S3, has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap)
     BT = ndx.shape[0]
     return dp_pallas._dp_core(
         ndx, stop_val, typ, strand, win_lo, valid,
@@ -512,9 +637,10 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "is_meta", "closed", "S3", "has_nonsd"))
+    "is_meta", "closed", "S3", "has_nonsd", "relk", "max_overlap"))
 def score_only(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
-               has_nonsd):
+               has_nonsd, relk=32, max_overlap=60):
     """Scoring without the DP — for differential tests vs the C engine."""
     return _score_items(tables, geo, bin_idx, gidx, is_meta=is_meta,
-                        closed=closed, S3=S3, has_nonsd=has_nonsd)
+                        closed=closed, S3=S3, has_nonsd=has_nonsd,
+                        relk=relk, max_overlap=max_overlap)

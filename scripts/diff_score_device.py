@@ -47,7 +47,7 @@ def main():
     n = 3072
     S = 30720
     G = len(tts)
-    packed = sd.pack_geometries([geoms[tt] for tt in tts], G, n, S, K)
+    packed = sd.pack_geometries([geoms[tt] for tt in tts], G, n, S)
     gmap = {tt: i for i, tt in enumerate(tts)}
 
     BT = 16
