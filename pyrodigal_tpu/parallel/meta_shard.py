@@ -1,0 +1,45 @@
+"""Multi-device meta-mode sweep: the batched (contig, bin) launch sharded
+over a device mesh.
+
+The launch tensors already have a flat work-item axis (BT); sharding that
+axis over the mesh's contig axis makes the sweep data-parallel: geometries
+and the bin tables are replicated (they are shared lookups), every device
+scores + DPs its own slice of work items, and the per-item outputs come
+back sharded.  No collectives are needed in the sweep itself — the winner
+reduction spans launches on the host.  (The reference has no distributed
+analog; its outermost parallelism is a thread pool over contigs,
+cli.py:286-302.)
+"""
+
+import functools
+
+import jax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .mesh import CONTIG_AXIS
+from ..ops import score_device as sd
+
+
+def sharded_score_dp_launch(mesh, tables, geo, bin_idx, gidx, *, is_meta,
+                            closed, S3, has_nonsd, relk, max_overlap, W, NP,
+                            BLK, MAX_CHUNKS, interpret=False):
+    """`score_device.score_dp_launch` with the work-item axis sharded over
+    the mesh.  BT must be divisible by the mesh size (and the per-device
+    slice by BLK)."""
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(repl(tables), repl(geo), P(CONTIG_AXIS), P(CONTIG_AXIS)),
+        out_specs=(P(CONTIG_AXIS, None), P(CONTIG_AXIS, None),
+                   P(CONTIG_AXIS, None), P(CONTIG_AXIS)),
+        check_vma=False,
+    )
+    def run(tables_, geo_, bin_idx_, gidx_):
+        return sd.score_dp_launch(
+            tables_, geo_, bin_idx_, gidx_, is_meta=is_meta, closed=closed,
+            S3=S3, has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap,
+            W=W, NP=NP, BLK=BLK, MAX_CHUNKS=MAX_CHUNKS, interpret=interpret)
+
+    return run(tables, geo, bin_idx, gidx)

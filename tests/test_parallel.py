@@ -101,3 +101,38 @@ def test_sharded_dp_matches_single_device(data):
     ref_score = np.asarray(ref_score)
     for g in range(G):
         assert np.array_equal(score[g], ref_score)
+
+
+def test_sharded_meta_runner_matches_c_path(data):
+    """The PRODUCT pipeline (TpuMetaRunner) sharded over the 8-device CPU
+    mesh on ragged real contigs must reproduce the sequential C meta path
+    gene-for-gene — the real multi-device correctness check."""
+    import pytest as _pytest
+    from pyrodigal_tpu import GeneFinder
+    from pyrodigal_tpu.fasta import parse
+    from pyrodigal_tpu.metagenomic import METAGENOMIC_BINS
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+    from pyrodigal_tpu.parallel import make_mesh
+
+    if len(METAGENOMIC_BINS) == 0:
+        _pytest.skip("metagenomic bins asset not built")
+    mesh = make_mesh()
+    if mesh.devices.size < 2:
+        _pytest.skip("needs a multi-device mesh")
+
+    rec = list(parse(data("SRR492066.fna.gz")))[0].seq
+    kk = list(parse(data("KK037166.fna.gz")))[0].seq
+    seqs = [rec[:24000], kk, rec[20000:52000], rec[40000:]]
+
+    p = GeneFinder(meta=True)
+    anchor = [p.find_genes(s) for s in seqs]
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=2048,
+                           batch_size=64, block_size=8, mesh=mesh,
+                           interpret=True)
+    sharded = runner.find_genes_batch(seqs)
+    for a, b in zip(anchor, sharded):
+        assert b.metagenomic_bin.description == a.metagenomic_bin.description
+        assert [(g.begin, g.end, g.strand) for g in b] == \
+            [(g.begin, g.end, g.strand) for g in a]
+        assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
