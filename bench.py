@@ -24,10 +24,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+
+
+def _enable_compilation_cache():
+    """Persistent compilation cache (the env-var binding is absent in this
+    jax build, so configure programmatically)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 BASELINE_MBPS = 2.149  # reference pyrodigal, sse backend, 1 CPU core
 
@@ -50,6 +60,7 @@ def main():
     from pyrodigal_tpu import GeneFinder
 
     import jax
+    _enable_compilation_cache()
     platform = jax.devices()[0].platform
 
     # workload: GCF genome chopped into 40kb contigs

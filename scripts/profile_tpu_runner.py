@@ -91,7 +91,7 @@ for li, pairs in win_by_launch.items():
         idx = np.zeros(K, np.int32)
         for w, (_ci, k) in enumerate(chunk):
             idx[w] = k
-        rows = dp_pallas._gather_rows(r["score"], r["traceb"], r["ov"], jnp.asarray(idx))
+        rows = dp_pallas._gather_rows_w(r["score"], r["traceb"], r["ov"], jnp.asarray(idx), W=r["W"], NB=runner.node_bucket)
         _ = [np.asarray(x) for x in rows]
         n_pull += 1
 tick("winner_pull", t0)
