@@ -819,36 +819,51 @@ def _igm_same_jnp(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
 
 
 def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
-             st_wt, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
+             st_wt, W, NP, BT, BLK, MAX_CHUNKS, interpret=False,
+             star_span=None):
     """Shared trace-level DP entry: all inputs are device tensors already
     expanded per work item — geometry/scores (BT, n), star pointers sp
     (3, BT, n) int, st_wt (BT,).  Computes the derived star-pointer tables
     on device, pads, runs the grid-blocked kernel, and returns
     (score, traceb, ovmark) over the padded axis + per-item best terminal
-    path score."""
+    path score.  `star_span` bounds |sp[k][b, i] - i| (the runner's
+    geometry precompute guarantees it), letting the pointer gathers run as
+    a masked-roll sweep instead of near-scalar general gathers."""
     n = ndx.shape[1]
     kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
     frame = ndx % 3
     stw = st_wt[:, None]
+    iidx = jnp.arange(n)[None, :]
 
-    def gat(a, idx):
-        return jnp.take_along_axis(a, idx, axis=1)
+    def gather_near(arrays, tgt, okm):
+        """[a[b, tgt[b, i]] for a in arrays] where |tgt - i| <= star_span
+        whenever okm; entries with ~okm return 0.  With star_span=None
+        (pointers of unknown span, e.g. recorded by the C engine) falls
+        back to a general gather."""
+        if star_span is None:
+            spc = jnp.clip(tgt, 0, n - 1)
+            return [jnp.where(okm, jnp.take_along_axis(a, spc, axis=1), 0)
+                    for a in arrays]
+        d = jnp.where(okm, tgt - iidx, star_span + 1)
+        outs = [jnp.zeros_like(a) for a in arrays]
+        for dd in range(-star_span, star_span + 1):
+            m = d == dd
+            outs = [jnp.where(m, jnp.roll(a, -dd, axis=1), o)
+                    for a, o in zip(arrays, outs)]
+        return outs
 
     opv1, opv1ok, val3, t_sv, t_ndx, t_ok = [], [], [], [], [], []
     for k in range(3):
         spk = sp[k].astype(jnp.int32)
         okm = spk != -1
-        spc = jnp.clip(spk, 0, n - 1)
-        g_ndx = gat(ndx, spc)
-        g_cs = gat(cs, spc)
-        g_rs = gat(rsc, spc)
-        g_us = gat(usc, spc)
+        g_ndx, g_cs, g_rs, g_us, g_str, g_sv = gather_near(
+            (ndx, cs, rsc, usc, strand, stop_val), spk, okm)
         opv1.append(g_cs + _igm_same_jnp(
             ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw))
         opv1ok.append(okm.astype(jnp.int32))
         val3.append(g_cs + _igm_same_jnp(
-            g_ndx, gat(strand, spc), g_rs, g_us, ndx, rsc, usc, stw))
-        t_sv.append(jnp.where(okm, gat(stop_val, spc), 0))
+            g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw))
+        t_sv.append(jnp.where(okm, g_sv, 0))
         t_ndx.append(jnp.where(okm, g_ndx, 0))
         t_ok.append(okm.astype(jnp.int32))
 

@@ -259,7 +259,17 @@ def _seg_scan(values, is_elem, is_reset, reset_val, init, reverse):
 
 def _sel_phase(scan, phase):
     """Pick each node's own channel from a (BT, n, 3) scan."""
-    return jnp.take_along_axis(scan, phase[..., None], axis=2)[..., 0]
+    return jnp.where(phase == 0, scan[..., 0],
+                     jnp.where(phase == 1, scan[..., 1], scan[..., 2]))
+
+
+def _row_lookup_small(rows, idx, K):
+    """``rows[b, idx[b, n]]`` for a small per-item table (K <= ~32) as a
+    select sweep (general gathers are near-scalar on TPU)."""
+    out = jnp.broadcast_to(rows[:, 0:1], idx.shape)
+    for v in range(1, K):
+        out = jnp.where(idx == v, rows[:, v:v + 1], out)
+    return out
 
 
 def _rbs_winner(masks, rbs_row):
@@ -283,6 +293,41 @@ def _gat(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
+def _lookup64(T, codes):
+    """Batched table lookup `T[b, codes[b, ...]]` for (BT, 4096) tables as
+    two 64-way one-hot contractions (hi bits pick a row on the MXU, lo bits
+    select within it).  General gathers execute near-scalar on TPU
+    (~25 ns/element); the one-hot formulation runs at memory bandwidth and
+    is exact (each one-hot row has a single 1, so the f32 contraction
+    reproduces the table value bit-for-bit)."""
+    BT = T.shape[0]
+    shp = codes.shape
+    flat = codes.reshape(BT, -1)
+    hi = flat >> 6
+    lo = flat & 63
+    Tr = T.reshape(BT, 64, 64)
+    oh_hi = jax.nn.one_hot(hi, 64, dtype=T.dtype)
+    rows = jnp.einsum("bkh,bhl->bkl", oh_hi, Tr,
+                      precision=jax.lax.Precision.HIGHEST)
+    oh_lo = jax.nn.one_hot(lo, 64, dtype=T.dtype)
+    return jnp.sum(rows * oh_lo, axis=2).reshape(shp)
+
+
+def _lookup64_shared(T, codes):
+    """Lookup `T[codes[...]]` for one shared (4096,) table (same two-level
+    one-hot contraction as `_lookup64`, without the batch axis)."""
+    shp = codes.shape
+    flat = codes.reshape(-1)
+    hi = flat >> 6
+    lo = flat & 63
+    Tr = T.reshape(64, 64)
+    oh_hi = jax.nn.one_hot(hi, 64, dtype=T.dtype)
+    rows = jnp.einsum("kh,hl->kl", oh_hi, Tr,
+                      precision=jax.lax.Precision.HIGHEST)
+    oh_lo = jax.nn.one_hot(lo, 64, dtype=T.dtype)
+    return jnp.sum(rows * oh_lo, axis=1).reshape(shp)
+
+
 def _derive_m6(geo):
     """On-device 6-mer code arrays (G, S) from the digit sequences, with
     mer_ndx semantics (N folds to C; reference: _sequence.h mer_ndx)."""
@@ -304,6 +349,33 @@ def _gat3(a, idx):
     G, n, K = idx.shape
     return jnp.take_along_axis(a, idx.reshape(G, n * K),
                                axis=1).reshape(G, n, K)
+
+
+def _window_gather(a, start, L):
+    """``out[g, n, w] = a[g, start[g, n] + w]`` for w in [0, L), with reads
+    outside [0, S) returning 0.
+
+    One coarse one-hot block contraction on the MXU picks each window's
+    256-wide aligned super-block, then log2(128) masked rolls align the
+    residual offset — replacing a per-element gather (near-scalar on TPU)
+    with bandwidth-bound vector work.  Requires ``start >= -128``,
+    ``start + L < S + 256``, ``L <= 128``, and S a multiple of 128."""
+    G, S = a.shape
+    assert S % 128 == 0 and L <= 128
+    ap = jnp.pad(a.astype(F32), ((0, 0), (128, 384)))
+    nblk = S // 128 + 3
+    blocks = jnp.concatenate(
+        [ap[:, :nblk * 128].reshape(G, nblk, 128),
+         ap[:, 128:128 + nblk * 128].reshape(G, nblk, 128)], axis=2)
+    q = (start + 128) >> 7
+    r = (start + 128) & 127
+    oh = jax.nn.one_hot(q, nblk, dtype=F32)            # (G, n, nblk)
+    R = jnp.einsum("gnq,gqc->gnc", oh, blocks,
+                   precision=jax.lax.Precision.HIGHEST)
+    for bit in (64, 32, 16, 8, 4, 2, 1):
+        R = jnp.where((r & bit)[..., None] != 0,
+                      jnp.roll(R, -bit, axis=2), R)
+    return R[:, :, :L]
 
 
 # motif-candidate slot constants (reference: lib.pyx:1556-1616 scan order:
@@ -333,7 +405,14 @@ _MOT_O, _MOT_SP, _MOT_LEN = _motif_slots()
 
 def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     """Per-geometry candidate tensors, all on device (validated against the
-    C precompute rc_rbs_candidates/rc_ups_mers/rc_motif_candidates)."""
+    C precompute rc_rbs_candidates/rc_ups_mers/rc_motif_candidates).
+
+    Every candidate position is a constant offset from the node start, so
+    each node needs only two contiguous 6-mer-code windows — upstream on
+    the coding strand ([ndx-48, ndx+3) of m6f) and downstream of the
+    mirror ([ndx+1, ndx+49) of m6r) — fetched once with `_window_gather`;
+    all SD / upstream / motif candidate mers are then constant slices of
+    those windows (no per-element gathers)."""
     g_ndx = geo["n32"][0]                              # (G, n)
     n8 = geo["n8"].astype(jnp.int32)
     g_typ, g_strand, g_edge = n8[0], n8[1], n8[2]
@@ -344,35 +423,59 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     not_edge = (g_edge == 0)[..., None]
     nd = g_ndx[..., None]
 
-    # SD candidate masks over the 15 window positions
+    # m6r is zeroed beyond slen, so overflowing reverse-strand reads see
+    # code 0 exactly like the clipped-index formulation they replace.
+    Wf = _window_gather(m6f, g_ndx - 48, 51).astype(jnp.int32)
+    Wr = _window_gather(m6r, g_ndx + 1, 48).astype(jnp.int32)
+
+    # SD candidate masks over the 15 window positions: position p reads
+    # the 6-mer at ndx-20+p (fwd; window lane 28+p) / ndx+20-p (rev;
+    # lane 19-p).
     p = jnp.arange(15)[None, None, :]
     idx = jnp.where(fwd, nd - 20 + p, nd + 20 - p)
     ok = (idx >= 0) & is_start & not_edge
-    idxc = jnp.clip(idx, 0, m6f.shape[1] - 1)
-    code = jnp.where(fwd, _gat3(m6f, idxc), _gat3(m6r, idxc))
-    flat = (14 - p) * 4096 + code
-    rbs_ex = jnp.where(ok, jnp.take(sd_ex, flat.reshape(-1),
-                                    axis=0).reshape(G, n, 15), 0)
-    rbs_mm = jnp.where(ok, jnp.take(sd_mm, flat.reshape(-1),
-                                    axis=0).reshape(G, n, 15), 0)
+    code = jnp.where(fwd, Wf[:, :, 28:43], Wr[:, :, 5:20][:, :, ::-1])
+    # the candidate-set LUTs hold 28-bit masks: look up the two 14-bit
+    # halves exactly through the f32 one-hot contraction, recombine in i32
+    sd_ex_t = jnp.flip(sd_ex.reshape(15, 4096), axis=0)   # row p = (14-p)
+    sd_mm_t = jnp.flip(sd_mm.reshape(15, 4096), axis=0)
+    code_t = code.transpose(2, 0, 1).reshape(15, G * n)
+
+    def lut15(T):
+        lo = _lookup64((T & 0x3FFF).astype(F32), code_t)
+        hi = _lookup64((T >> 14).astype(F32), code_t)
+        v = lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 14)
+        return v.reshape(15, G, n).transpose(1, 2, 0)
+
+    rbs_ex = jnp.where(ok, lut15(sd_ex_t), 0)
+    rbs_mm = jnp.where(ok, lut15(sd_mm_t), 0)
 
     # upstream-composition mers: slots 0-1 = -1,-2; 2-31 = -15..-44
+    # (fwd lane 48-k of Wf; rev lane k-1 of Wr)
     ks = jnp.asarray(np.array([1, 2] + list(range(15, 45)),
                               np.int32))[None, None, :]
     start_coord = jnp.where(fwd, nd, slen - 1 - nd)
     uok = (ks <= start_coord) & is_start
-    uidx = jnp.clip(jnp.where(fwd, nd - ks, nd + ks), 0, m6f.shape[1] - 1)
-    umer = jnp.where(fwd, _gat3(m6f, uidx), _gat3(m6r, uidx)) & 3
+    umer_f = jnp.concatenate(
+        [Wf[:, :, 46:48][:, :, ::-1], Wf[:, :, 4:34][:, :, ::-1]], axis=2)
+    umer_r = jnp.concatenate(
+        [Wr[:, :, 0:2], Wr[:, :, 14:44]], axis=2)
+    umer = jnp.where(fwd, umer_f, umer_r) & 3
     ups_flat = jnp.where(uok, jnp.arange(32)[None, None, :] * 4 + umer, 0)
 
     mot = None
     if has_nonsd:
         o = jnp.asarray(_MOT_O)[None, None, :]
         mok = (start_coord + o >= 0) & is_start & not_edge
-        midx = jnp.clip(jnp.where(fwd, nd + o, nd - o), 0,
-                        m6f.shape[1] - 1)
-        mmask = jnp.asarray((1 << (2 * (_MOT_LEN + 3))) - 1)[None, None, :]
-        mmer = jnp.where(fwd, _gat3(m6f, midx), _gat3(m6r, midx)) & mmask
+        # slot group for motif length i+3: fwd lanes [30-i, 43-i) of Wf,
+        # rev lanes [5+i, 18+i) of Wr reversed
+        mers = []
+        for i in range(3, -1, -1):
+            mf = Wf[:, :, 30 - i:43 - i]
+            mr = Wr[:, :, 5 + i:18 + i][:, :, ::-1]
+            mers.append(jnp.where(fwd, mf, mr)
+                        & ((1 << (2 * (i + 3))) - 1))
+        mmer = jnp.concatenate(mers, axis=2)
         mot = jnp.where(
             mok,
             jnp.asarray(_MOT_LEN)[None, None, :] * 16384
@@ -412,8 +515,8 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     dcrow = gene_dc[bin_idx]                           # (BT, 4096)
     m6 = jnp.stack([m6f, m6r])
     m6 = jnp.take(m6, gidx, axis=1)                    # (2, BT, S)
-    dcf = _gat(dcrow, m6[0])
-    dcr = _gat(dcrow, m6[1])
+    dcf = _lookup64(dcrow, m6[0])
+    dcr = _lookup64(dcrow, m6[1])
     S = dcf.shape[1]
     Cf = jnp.cumsum(dcf.reshape(BT, S3, 3), axis=1).reshape(BT, S)
     Cr = jnp.cumsum(dcr.reshape(BT, S3, 3), axis=1).reshape(BT, S)
@@ -470,19 +573,29 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     rbs_row = rbs_wt[bin_idx]                          # (BT, 28)
     rbs0 = _rbs_winner(jnp.take(g_rbs_ex, gidx, axis=0), rbs_row)
     rbs1 = _rbs_winner(jnp.take(g_rbs_mm, gidx, axis=0), rbs_row)
-    w0 = _gat(rbs_row, rbs0)
-    w1 = _gat(rbs_row, rbs1)
+    w0 = _row_lookup_small(rbs_row, rbs0, 28)
+    w1 = _row_lookup_small(rbs_row, rbs1, 28)
     sd_score = jnp.maximum(w0, w1) * stw
 
     if has_nonsd:
         mid = jnp.take(g_mot, gidx, axis=0)            # (BT, n, 52)
-        mrow = mot_wt[bin_idx]                         # (BT, 65536)
-        mv = _gat(mrow, jnp.clip(mid, 0, 65535).reshape(BT, -1))
-        mv = mv.reshape(mid.shape)
-        best = jnp.full((BT, n), -100.0, F32)
+        # group the 52 slots by their constant (len, spc) pair: each group
+        # reads one 4096-wide sub-table of mot_wt through the one-hot
+        # contraction; the running max over slots is value-only, so group
+        # order does not change the result
+        mer = mid & 4095
+        groups = {}
         for s in range(52):
-            ok = (mid[:, :, s] >= 0) & (mv[:, :, s] > best)
-            best = jnp.where(ok, mv[:, :, s], best)
+            ls = int(_MOT_LEN[s]) * 4 + int(_MOT_SP[s])
+            groups.setdefault(ls, []).append(s)
+        mrow16 = mot_wt[bin_idx].reshape(BT, 16, 4096)
+        best = jnp.full((BT, n), -100.0, F32)
+        for ls, slots in sorted(groups.items()):
+            codes = jnp.stack([mer[:, :, s] for s in slots], axis=2)
+            vals = _lookup64(mrow16[:, ls], codes)     # (BT, n, len(slots))
+            ok = jnp.stack([mid[:, :, s] >= 0 for s in slots], axis=2)
+            gmax = jnp.max(jnp.where(ok, vals, -100.0), axis=2)
+            best = jnp.maximum(best, gmax)
         no_mot = no_mot_t[bin_idx][:, None]
         mot_sc = jnp.where((best == -4.0) | (best < no_mot + 0.69),
                            no_mot, best)
@@ -497,18 +610,29 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     else:
         rscore = sd_score
 
-    # ---- upstream composition (per-slot gathers from each bin's table) ---
-    ups_flat = jnp.take(g_ups_flat, gidx, axis=0)      # (BT, n, 32)
-    uokb = jnp.take(g_uok, gidx, axis=0)
-    urow = ups_comp[bin_idx]                           # (BT, 128)
-    uvals = jnp.take_along_axis(
-        urow, ups_flat.reshape(BT, -1), axis=1).reshape(BT, n, 32)
-    u_base = jnp.sum(jnp.where(uokb, uvals, 0.0), axis=2) * (0.4 * stw)
+    # ---- upstream composition -------------------------------------------
+    # Per geometry, count how many valid slots hit each of the 128 table
+    # cells; the per-item score is then one MXU contraction of the count
+    # matrix against every bin's ups_comp row, after which each work item
+    # just picks its (geometry, bin) row.
+    G = g_ups_flat.shape[0]
+    NBINS = ups_comp.shape[0]
+    counts = jnp.zeros(g_ups_flat.shape[:2] + (128,), F32)
+    for k in range(32):
+        oh = jax.nn.one_hot(g_ups_flat[:, :, k], 128, dtype=F32)
+        counts = counts + jnp.where(g_uok[:, :, k:k + 1], oh, 0.0)
+    u_all = jnp.einsum("gnc,Bc->gBn", counts, ups_comp,
+                       precision=jax.lax.Precision.HIGHEST)
+    u_base = jnp.take(u_all.reshape(G * NBINS, n),
+                      gidx * NBINS + bin_idx, axis=0) * (0.4 * stw)
 
     # ---- start score assembly (reference: lib.pyx:2331-2487) -------------
     edge0 = edge + (1 - stop_real)
+    tw = type_wt[bin_idx]                              # (BT, 3)
+    tw_n = jnp.where(typ == 0, tw[:, 0:1],
+                     jnp.where(typ == 1, tw[:, 1:2], tw[:, 2:3]))
     tsc = jnp.where(edgeb, EDGE_BONUS * stw / edge0.astype(F32),
-                    _gat(type_wt[bin_idx], jnp.clip(typ, 0, 2)) * stw)
+                    tw_n * stw)
     rsc = jnp.where(edgeb, 0.0, rscore)
     usc = jnp.where(edgeb, 0.0, u_base + jnp.where(euf != 0,
                                                    EDGE_UPS * stw, 0.0))
@@ -581,34 +705,48 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     ptr = [jnp.full((BT, n), -1, jnp.int32) for _ in range(3)]
     ndx_i, rsc_i, usc_i = ndx, rsc, usc
     mo = max_overlap
-    for k in range(relk):
-        j = iidx + jnp.where(fstop, 3 - k, k - 3)
-        jc = jnp.clip(j, 0, n - 1)
-        ndx_j = _gat(ndx, jc)
-        sc_j = _gat(cs_tot, jc)
-        rsc_j = _gat(rsc, jc)
-        usc_j = _gat(usc, jc)
-        typ_j = _gat(typ, jc)
-        str_j = _gat(strand, jc)
-        sv_j = _gat(stop_val, jc)
-        val_j = _gat(valid, jc)
-        okf = (fstop & (str_j == 1) & (ndx_j <= ndx + 2)
-               & (ndx_j + mo >= ndx) & (sv_j > ndx))
-        okr = (rstop & (str_j == -1) & (ndx_j >= ndx - 2)
-               & (ndx_j - mo <= ndx) & (sv_j < ndx))
-        ok = ((j >= 0) & (j < n) & (val_j != 0) & (typ_j != STOP)
-              & (okf | okr))
-        igm_f = dp_pallas._igm_same_jnp(
-            ndx_i, strand, rsc_i, usc_i, ndx_j, rsc_j, usc_j, stw)
-        igm_r = dp_pallas._igm_same_jnp(
-            ndx_j, jnp.full_like(ndx_j, -1), rsc_j, usc_j,
-            ndx_i, rsc_i, usc_i, stw)
-        sc = sc_j + jnp.where(fwd, igm_f, igm_r)
-        upd = ok & (sc > runmax)
-        phj = ndx_j % 3
-        for f in range(3):
-            ptr[f] = jnp.where(upd & (phj == f), j, ptr[f])
-        runmax = jnp.where(upd, sc, runmax)
+
+    def sh(a, d):
+        """a[:, i+d] at column i (wrap-around is masked by the j bounds)."""
+        return jnp.roll(a, -d, axis=1)
+
+    # The candidate j is always within `relk` node indices of the stop i
+    # (prepare_geometry verified the span), so each scan step is a fixed
+    # SHIFT of the node tensors — forward stops walk j = i+3-k, reverse
+    # stops j = i+k-3 — rather than a general (slow on TPU) gather.  The
+    # two stop populations are disjoint rows, so running them as two
+    # sequential shift-loops preserves the reference's per-row scan order.
+    for stop_sel, sgn in ((fstop, +1), (rstop, -1)):
+        for k in range(relk):
+            d = sgn * (3 - k)
+            j = iidx + d
+            ndx_j = sh(ndx, d)
+            sc_j = sh(cs_tot, d)
+            rsc_j = sh(rsc, d)
+            usc_j = sh(usc, d)
+            typ_j = sh(typ, d)
+            str_j = sh(strand, d)
+            sv_j = sh(stop_val, d)
+            val_j = sh(valid, d)
+            if sgn > 0:
+                okd = (stop_sel & (str_j == 1) & (ndx_j <= ndx + 2)
+                       & (ndx_j + mo >= ndx) & (sv_j > ndx))
+                igm = dp_pallas._igm_same_jnp(
+                    ndx_i, strand, rsc_i, usc_i, ndx_j, rsc_j, usc_j, stw)
+            else:
+                okd = (stop_sel & (str_j == -1) & (ndx_j >= ndx - 2)
+                       & (ndx_j - mo <= ndx) & (sv_j < ndx))
+                igm = dp_pallas._igm_same_jnp(
+                    ndx_j, jnp.full_like(ndx_j, -1), rsc_j, usc_j,
+                    ndx_i, rsc_i, usc_i, stw)
+            ok = ((j >= 0) & (j < n) & (val_j != 0) & (typ_j != STOP)
+                  & okd)
+            sc = sc_j + igm
+            upd = ok & (sc > runmax)
+            phj = ndx_j % 3
+            for f in range(3):
+                ptr[f] = jnp.where(upd & (phj == f), j, ptr[f])
+            runmax = jnp.where(upd, sc, runmax)
     star_ptr = jnp.stack(ptr)                          # (3, BT, n)
 
     return (ndx, stop_val, typ, strand, win_lo, valid,
@@ -633,7 +771,7 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     return dp_pallas._dp_core(
         ndx, stop_val, typ, strand, win_lo, valid,
         cscore + ssc, rsc, usc, star_ptr, stw,
-        W, NP, BT, BLK, MAX_CHUNKS, interpret)
+        W, NP, BT, BLK, MAX_CHUNKS, interpret, star_span=relk + 4)
 
 
 @functools.partial(jax.jit, static_argnames=(
