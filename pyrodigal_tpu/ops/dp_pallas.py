@@ -498,13 +498,12 @@ def dp_pallas(ndx, stop_val, typ, strand, cs, rscore, uscore, star_ptr,
 
 def _dp_kernel_b(  # noqa: C901
     # all tensors shape (B, NP)
-    ndx_ref, sv_ref, kind_ref, frame_ref, strand_ref, winlo_ref, valid_ref,
+    ndx_ref, sv_ref, kind_ref, winlo_ref,
     cs_ref, rsc_ref, usc_ref,
-    opv10_ref, opv11_ref, opv12_ref, opv1ok0_ref, opv1ok1_ref, opv1ok2_ref,
+    opv10_ref, opv11_ref, opv12_ref,
     val30_ref, val31_ref, val32_ref,
     tsv0_ref, tsv1_ref, tsv2_ref,
     tndx0_ref, tndx1_ref, tndx2_ref,
-    tok0_ref, tok1_ref, tok2_ref,
     stwt_ref,
     score_ref, traceb_ref, ovmark_ref, tbndx_ref,
     *, W, NP, B, MAX_CHUNKS,
@@ -512,7 +511,12 @@ def _dp_kernel_b(  # noqa: C901
     """Like _dp_kernel but every per-i scalar is a (B, 1) vector, so one
     launch sweeps a heterogeneous batch of (contig, bin) work items.
     Outputs are self-initialized so the kernel can run as one block of a
-    larger grid (node scores start at 0, reference: lib.pyx:2496)."""
+    larger grid (node scores start at 0, reference: lib.pyx:2496).
+
+    The operand set is trimmed to fit wider blocks in VMEM: kind 4 marks
+    padding (valid == kind != 4), strand and frame derive from kind / ndx
+    in-kernel, and the star tables carry validity sentinels (opv1 / val3 =
+    NEGF, t_sv = -10^9) instead of separate ok arrays."""
     score_ref[...] = jnp.zeros((B, NP), jnp.float32)
     traceb_ref[...] = jnp.full((B, NP), -1, jnp.int32)
     ovmark_ref[...] = jnp.full((B, NP), -1, jnp.int32)
@@ -548,11 +552,11 @@ def _dp_kernel_b(  # noqa: C901
     def body(i, carry):
         ip = i + W
 
-        i_valid = colB(valid_ref, ip)           # (B,1)
         i_ndx = colB(ndx_ref, ip)
         i_sv = colB(sv_ref, ip)
         i_kind = colB(kind_ref, ip)
-        i_fr = colB(frame_ref, ip)
+        i_valid = i_kind != 4                   # (B,1) bool
+        i_fr = i_ndx - (i_ndx // 3) * 3
         win_lo = colB(winlo_ref, ip) + W        # physical, (B,1)
         st_wt = stwt_ref[:, 0:1]
 
@@ -563,9 +567,6 @@ def _dp_kernel_b(  # noqa: C901
         v30 = colB(val30_ref, ip)
         v31 = colB(val31_ref, ip)
         v32 = colB(val32_ref, ip)
-        o30 = colB(tok0_ref, ip)
-        o31 = colB(tok1_ref, ip)
-        o32 = colB(tok2_ref, ip)
         sv30 = colB(tsv0_ref, ip)
         sv31 = colB(tsv1_ref, ip)
         sv32 = colB(tsv2_ref, ip)
@@ -589,9 +590,7 @@ def _dp_kernel_b(  # noqa: C901
             n1_ndx = ndx_ref[:, sl]
             n1_sv = sv_ref[:, sl]
             n1_kind = kind_ref[:, sl]
-            n1_fr = frame_ref[:, sl]
-            n1_strand = strand_ref[:, sl]
-            n1_valid = valid_ref[:, sl]
+            n1_fr = n1_ndx - (n1_ndx // 3) * 3
             n1_cs = cs_ref[:, sl]
             n1_rsc = rsc_ref[:, sl]
             n1_usc = usc_ref[:, sl]
@@ -600,7 +599,7 @@ def _dp_kernel_b(  # noqa: C901
             n1_tbndx = tbndx_ref[:, sl]
 
             okm = ((jp >= lo) & (jp < hi) & (jp >= win_lo) & (jp < ip)
-                   & (n1_valid != 0) & (i_valid != 0))
+                   & (n1_kind != 4) & i_valid)
 
             f1_stop = n1_kind == 1
             f1_start = n1_kind == 0
@@ -608,6 +607,7 @@ def _dp_kernel_b(  # noqa: C901
             r1_start = n1_kind == 2
             n1_is_stop = f1_stop | r1_stop
             n1_fwd = n1_kind < 2
+            n1_strand = jnp.where(n1_fwd, 1, -1)
             skip = (
                 (~n1_is_stop & ~i_is_stop & (n1_fwd == i_fwd))
                 | (n1_fwd & ~n1_is_stop & ~i_fwd)
@@ -635,11 +635,7 @@ def _dp_kernel_b(  # noqa: C901
             opv = jnp.where(
                 i_fr == 0, opv10_ref[:, sl],
                 jnp.where(i_fr == 1, opv11_ref[:, sl], opv12_ref[:, sl]))
-            opok = jnp.where(
-                i_fr == 0, opv1ok0_ref[:, sl],
-                jnp.where(i_fr == 1, opv1ok1_ref[:, sl], opv1ok2_ref[:, sl]))
-            ok1 = ((f1_start & gene_ok)
-                   | (~f1_start & gene_ok & (opok != 0)))
+            ok1 = gene_ok
             sc1 = jnp.where(f1_start, n1_cs, opv)
 
             # case 2: i rev start
@@ -660,14 +656,12 @@ def _dp_kernel_b(  # noqa: C901
             int_ok = left < right
             bv = jnp.zeros((B, WP), jnp.float32)
             bf = jnp.full((B, WP), -1, jnp.int32)
-            for k, (v_i, sv_i3, ndx_i3, ok_i3) in enumerate((
-                (v30, sv30, nd30, o30), (v31, sv31, nd31, o31),
-                (v32, sv32, nd32, o32),
+            for k, (v_i, sv_i3, ndx_i3) in enumerate((
+                (v30, sv30, nd30), (v31, sv31, nd31), (v32, sv32, nd32),
             )):
                 o = left - sv_i3 + 3
                 vald = (
-                    (ok_i3 != 0)
-                    & (o > 0) & (o < MAX_OPP_OVLP)
+                    (o > 0) & (o < MAX_OPP_OVLP)
                     & (o < ndx_i3 - left)
                     & (n1_tb != -1)
                     & (o < sv_i3 - bnd - 2)
@@ -677,8 +671,7 @@ def _dp_kernel_b(  # noqa: C901
                 bf = jnp.where(better, k, bf)
             f_sc = jnp.where(bf != -1, bv, igm_diff)
             v3 = jnp.where(n1_fr == 0, v30, jnp.where(n1_fr == 1, v31, v32))
-            ok3v = jnp.where(n1_fr == 0, o30, jnp.where(n1_fr == 1, o31, o32))
-            op_ok = (n1_sv > i_ndx) & (ok3v != 0)
+            op_ok = n1_sv > i_ndx
             sc3 = jnp.where(f1_stop, f_sc, jnp.where(r1_start, igm_j_i, v3))
             ok3 = ((f1_stop & int_ok)
                    | (r1_start & (n1_ndx < right))
@@ -733,7 +726,7 @@ def _dp_kernel_b(  # noqa: C901
         cur_tn = tbndx_ref[:, pl.ds(base, 128)]
         cur_col = jnp.sum(jnp.where(selc, cur, 0), axis=1)
         do = ((best > jnp.float32(NEGF / 2)) & (best >= cur_col)
-              & (i_valid[:, 0] != 0))
+              & i_valid[:, 0])
         doc = selc & do[:, None]
         score_ref[:, pl.ds(base, 128)] = jnp.where(doc, best[:, None], cur)
         traceb_ref[:, pl.ds(base, 128)] = jnp.where(doc, bestj[:, None], cur_tb)
@@ -794,7 +787,7 @@ def _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
 #   * the kernel runs as a grid over blocks of BLK items, so one dispatch
 #     sweeps hundreds of items;
 #   * all shapes are fixed (G_MAX geometries, BT items) -> one compilation.
-FIXED_CHUNKS = 2
+FIXED_CHUNKS = 3
 
 
 def _igm_same_jnp(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
@@ -831,7 +824,6 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
     a masked-roll sweep instead of near-scalar general gathers."""
     n = ndx.shape[1]
     kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
-    frame = ndx % 3
     stw = st_wt[:, None]
     iidx = jnp.arange(n)[None, :]
 
@@ -852,31 +844,31 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
                     for a, o in zip(arrays, outs)]
         return outs
 
-    opv1, opv1ok, val3, t_sv, t_ndx, t_ok = [], [], [], [], [], []
+    opv1, val3, t_sv, t_ndx = [], [], [], []
     for k in range(3):
         spk = sp[k].astype(jnp.int32)
         okm = spk != -1
         g_ndx, g_cs, g_rs, g_us, g_str, g_sv = gather_near(
             (ndx, cs, rsc, usc, strand, stop_val), spk, okm)
-        opv1.append(g_cs + _igm_same_jnp(
-            ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw))
-        opv1ok.append(okm.astype(jnp.int32))
-        val3.append(g_cs + _igm_same_jnp(
-            g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw))
-        t_sv.append(jnp.where(okm, g_sv, 0))
+        opv1.append(jnp.where(okm, g_cs + _igm_same_jnp(
+            ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw), NEG))
+        val3.append(jnp.where(okm, g_cs + _igm_same_jnp(
+            g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw), NEG))
+        t_sv.append(jnp.where(okm, g_sv, -(10 ** 9)))
         t_ndx.append(jnp.where(okm, g_ndx, 0))
-        t_ok.append(okm.astype(jnp.int32))
 
-    def pad(a, dtype=None):
-        a = jnp.pad(a, ((0, 0), (W, NP - W - n)))
-        return a if dtype is None else a.astype(dtype)
+    # the kernel's trimmed operand set: kind 4 marks padding, the star
+    # tables carry their validity as sentinels (see _dp_kernel_b)
+    kind4 = jnp.where(valid != 0, kind, 4)
+
+    def pad(a, fill=0):
+        return jnp.pad(a, ((0, 0), (W, NP - W - n)), constant_values=fill)
 
     args = tuple(
-        [pad(a) for a in (ndx, stop_val, kind, frame, strand, win_lo, valid)]
+        [pad(ndx), pad(stop_val), pad(kind4, 4), pad(win_lo)]
         + [pad(a) for a in (cs, rsc, usc)]
-        + [pad(a) for a in opv1] + [pad(a) for a in opv1ok]
-        + [pad(a) for a in val3] + [pad(a) for a in t_sv]
-        + [pad(a) for a in t_ndx] + [pad(a) for a in t_ok]
+        + [pad(a, NEGF) for a in opv1] + [pad(a, NEGF) for a in val3]
+        + [pad(a, -(10 ** 9)) for a in t_sv] + [pad(a) for a in t_ndx]
         + [jnp.broadcast_to(st_wt[:, None], (BT, 128))]
     )
     score, traceb, ov, _ = _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS,

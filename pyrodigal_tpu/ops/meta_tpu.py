@@ -26,7 +26,7 @@ class TpuMetaRunner:
     def __init__(self, metagenomic_bins, *, closed=False, min_gene=90,
                  min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
                  node_bucket=3072, seq_bucket=49152, batch_size=128,
-                 block_size=8, max_geoms=16, relk=32, window=1024,
+                 block_size=16, max_geoms=16, relk=32, window=640,
                  prep_threads=8, interpret=False, mesh=None):
         self.bins = metagenomic_bins
         self.mesh = mesh
@@ -228,8 +228,10 @@ class TpuMetaRunner:
                 for w, (ci, _k) in enumerate(chunk):
                     win_rows[ci] = (rows_s[w], rows_t[w], rows_o[w], W)
 
-        out = []
-        for ci, seq in enumerate(contigs):
+        # winner rescore + finish is exact-C host work per contig with no
+        # shared state — run it on the prep thread pool
+        def _produce(ci):
+            seq = contigs[ci]
             if ci in oversized:
                 from ..gene_finder import GeneFinder
                 gf = GeneFinder(
@@ -238,10 +240,10 @@ class TpuMetaRunner:
                     min_mask=self.min_mask, min_gene=self.min_gene,
                     min_edge_gene=self.min_edge_gene,
                     max_overlap=self.max_overlap,
+                    backend="refcore",   # never back into this runner
                 )
                 gf._num_seq = num_seq_start + ci
-                out.append(gf.find_genes(str(seq)))
-                continue
+                return gf.find_genes(str(seq))
             genes = Genes()
             genes._num_seq = num_seq_start + ci
             genes.meta = True
@@ -259,5 +261,6 @@ class TpuMetaRunner:
                 genes.nodes = Nodes()
                 genes.metagenomic_bin = None
                 genes.training_info = None
-            out.append(genes)
-        return out
+            return genes
+
+        return list(self.pool.map(_produce, range(len(contigs))))
