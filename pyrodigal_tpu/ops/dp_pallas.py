@@ -912,3 +912,12 @@ def _gather_rows_w(score, traceb, ov, idx, W, NB):
     only NB columns per row cross the device→host link (traceback VALUES
     stay physical; the caller shifts them by -W)."""
     return (score[idx, W:W + NB], traceb[idx, W:W + NB], ov[idx, W:W + NB])
+
+
+@functools.partial(jax.jit, static_argnames=("W", "NB"))
+def _gather_rows_packed(score, traceb, ov, idx, W, NB):
+    """Winner rows packed into one int32 tensor (scores bitcast), so each
+    pull costs a single device→host transfer — round trips through the
+    device tunnel dominate small pulls."""
+    s = jax.lax.bitcast_convert_type(score[idx, W:W + NB], jnp.int32)
+    return jnp.stack([s, traceb[idx, W:W + NB], ov[idx, W:W + NB]])

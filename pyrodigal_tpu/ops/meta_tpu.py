@@ -196,20 +196,25 @@ class TpuMetaRunner:
             launches.append(self._sweep(cur_work, cur_geoms))
         launches = [r for r in launches if r]
 
-        # winner bin per contig (one small D2H per launch)
+        # winner bin per contig: ONE stacked D2H for every launch's best
+        # vector (tunnel round trips dominate small pulls)
         best = {}
-        for li, r in enumerate(launches):
-            lb = np.asarray(r["best"])
-            for k, (ci, b, _g) in enumerate(r["work"]):
-                sc = float(lb[k])
-                if ci not in best or sc > best[ci][0]:
-                    best[ci] = (sc, b, (li, k))
+        if launches:
+            all_best = np.asarray(
+                jnp.concatenate([r["best"] for r in launches]))
+            for li, r in enumerate(launches):
+                off = li * self.batch_size
+                for k, (ci, b, _g) in enumerate(r["work"]):
+                    sc = float(all_best[off + k])
+                    if ci not in best or sc > best[ci][0]:
+                        best[ci] = (sc, b, (li, k))
 
-        # winner DP rows (one fixed-shape gather + D2H per launch)
+        # winner DP rows: fixed-shape packed gathers, ONE stacked D2H total
         win_rows = {}
         win_by_launch = {}
         for ci, (_sc, _b, (li, k)) in best.items():
             win_by_launch.setdefault(li, []).append((ci, k))
+        pulls = []
         for li, pairs in win_by_launch.items():
             r = launches[li]
             K = self.max_geoms
@@ -218,13 +223,15 @@ class TpuMetaRunner:
                 idx = np.zeros(K, np.int32)
                 for w, (_ci, k) in enumerate(chunk):
                     idx[w] = k
-                rows_s, rows_t, rows_o = dp_pallas._gather_rows_w(
+                pulls.append((chunk, r["W"], dp_pallas._gather_rows_packed(
                     r["score"], r["traceb"], r["ov"], jnp.asarray(idx),
-                    W=r["W"], NB=self.node_bucket)
-                rows_s = np.asarray(rows_s)
-                rows_t = np.asarray(rows_t)
-                rows_o = np.asarray(rows_o)
-                W = r["W"]
+                    W=r["W"], NB=self.node_bucket)))
+        if pulls:
+            stacked = np.asarray(jnp.stack([p[2] for p in pulls]))
+            for pi, (chunk, W, _dev) in enumerate(pulls):
+                rows_s = stacked[pi, 0].view(np.float32)
+                rows_t = stacked[pi, 1]
+                rows_o = stacked[pi, 2]
                 for w, (ci, _k) in enumerate(chunk):
                     win_rows[ci] = (rows_s[w], rows_t[w], rows_o[w], W)
 

@@ -158,6 +158,11 @@ def srr_single(data):
 def test_writer_snapshot(data, srr_single, kind, writer_name):
     seq_id, genes = srr_single
     out = io.StringIO()
-    getattr(genes, writer_name)(out, seq_id)
+    kwargs = {}
+    if kind == "gbk":
+        # the GenBank LOCUS line embeds a date; pin it to the snapshot's
+        import datetime
+        kwargs["date"] = datetime.date(2026, 8, 20)
+    getattr(genes, writer_name)(out, seq_id, **kwargs)
     with gzip.open(data(f"SRR492066.single.refcore.{kind}.gz"), "rt") as f:
         assert out.getvalue() == f.read()
