@@ -1,8 +1,7 @@
 """Fully device-resident meta mode: scoring + DP fused in one dispatch.
 
-Compared to `meta_batch.BatchMetaRunner` (host C scoring, device DP), the
-whole per-bin pipeline — node scoring, star pointers, connection DP — runs
-on the accelerator (`score_device` + the Pallas kernel), so the host cost
+The whole per-bin pipeline — node scoring, star pointers, connection DP —
+runs on the accelerator (`score_device` + the Pallas kernel), so the host cost
 per contig is node extraction plus the bin-independent index precompute,
 and the exact C engine re-scores only the winning bin for output fidelity
 (reference: lib.pyx:5317-5396 for the sequential bin sweep this replaces).

@@ -64,59 +64,6 @@ def test_meta_short_sequences():
 
 
 @needs_bins
-def test_meta_runner_matches_c_path(data):
-    """The device-batched bin sweep must reproduce the sequential C meta
-    path bin-for-bin and gene-for-gene (scan DP on CPU)."""
-    jax = pytest.importorskip("jax")
-    from pyrodigal_tpu.ops.meta_pipeline import MetaRunner
-
-    record = list(parse(data("SRR492066.fna.gz")))[0]
-    seq = record.seq[:30000]
-
-    p = GeneFinder(meta=True)
-    g_c = p.find_genes(seq)
-
-    runner = MetaRunner(METAGENOMIC_BINS)
-    g_j = runner.find_genes(seq)
-
-    assert g_j.metagenomic_bin.description == g_c.metagenomic_bin.description
-    assert [(g.begin, g.end, g.strand) for g in g_j] == \
-        [(g.begin, g.end, g.strand) for g in g_c]
-    assert all(
-        a._gene_data(1) == b._gene_data(1) for a, b in zip(g_c, g_j)
-    )
-
-
-@needs_bins
-def test_batch_meta_runner_matches_c_path(data):
-    """The Pallas batched (contig x bin) sweep — packed-transfer entry,
-    fixed-chunk kernel — must reproduce the sequential C meta path for
-    every contig, including winner-bin selection and traceback slicing
-    (regression: winner rows must be read at physical columns W:W+nn)."""
-    pytest.importorskip("jax")
-    from pyrodigal_tpu.ops.meta_batch import BatchMetaRunner
-
-    seqs = [
-        list(parse(data("KK037166.fna.gz")))[0].seq,
-        list(parse(data("SRR492066.fna.gz")))[0].seq[:30000],
-    ]
-    p = GeneFinder(meta=True)
-    anchor = [p.find_genes(s) for s in seqs]
-
-    runner = BatchMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
-                             batch_size=8, interpret=True)
-    batched = runner.find_genes_batch(seqs)
-    for a, b in zip(anchor, batched):
-        assert len(a) == len(b)
-        assert b.metagenomic_bin.description == a.metagenomic_bin.description
-        assert [(g.begin, g.end, g.strand) for g in b] == \
-            [(g.begin, g.end, g.strand) for g in a]
-        assert all(
-            x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b)
-        )
-
-
-@needs_bins
 def test_tpu_meta_runner_matches_c_path(data):
     """The fully on-device runner (device scoring + DP) must reproduce the
     sequential C meta path for every contig: winner bin, coordinates, and
