@@ -497,6 +497,9 @@ def dp_pallas(ndx, stop_val, typ, strand, cs, rscore, uscore, star_ptr,
 # --------------------------------------------------------------------------
 
 def _dp_kernel_b(  # noqa: C901
+    # nmax: (n_blocks,) SMEM scalar-prefetch — per-block max valid node
+    # count (indexed by program_id)
+    nmax_ref,
     # all tensors shape (B, NP)
     ndx_ref, sv_ref, kind_ref, winlo_ref,
     cs_ref, rsc_ref, usc_ref,
@@ -734,10 +737,13 @@ def _dp_kernel_b(  # noqa: C901
         tbndx_ref[:, pl.ds(base, 128)] = jnp.where(doc, bestn[:, None], cur_tn)
         return 0
 
-    jax.lax.fori_loop(0, NP - W - 128, body, 0)
+    # dynamic trip count: the padded node axis is NP - W - 128 wide, but
+    # only the first max(nn) columns of this block hold real nodes
+    nmax = nmax_ref[pl.program_id(0)]
+    jax.lax.fori_loop(0, jnp.minimum(nmax, NP - W - 128), body, 0)
 
 
-def _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
+def _run_kernel_b(args, nmax, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
     """Grid-blocked launch: operands are (BT, NP); the grid walks blocks of
     BLK items, each DP'd fully in VMEM while Pallas double-buffers the next
     block's DMA.  One launch therefore sweeps BT = many-blocks work items
@@ -750,15 +756,16 @@ def _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
         jax.ShapeDtypeStruct((BT, NP), jnp.int32),
         jax.ShapeDtypeStruct((BT, NP), jnp.int32),
     ]
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(BT // BLK,),
         in_specs=[
-            pl.BlockSpec((BLK, a.shape[1]), lambda g: (g, 0),
+            pl.BlockSpec((BLK, a.shape[1]), lambda g, _nm: (g, 0),
                          memory_space=pltpu.VMEM)
             for a in args
         ],
         out_specs=[
-            pl.BlockSpec((BLK, NP), lambda g: (g, 0),
+            pl.BlockSpec((BLK, NP), lambda g, _nm: (g, 0),
                          memory_space=pltpu.VMEM)
             for _ in out_shapes
         ],
@@ -768,7 +775,7 @@ def _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS, interpret=False):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(*args)
+    )(nmax, *args)
 
 
 # --------------------------------------------------------------------------
@@ -837,12 +844,16 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
             return [jnp.where(okm, jnp.take_along_axis(a, spc, axis=1), 0)
                     for a in arrays]
         d = jnp.where(okm, tgt - iidx, star_span + 1)
-        outs = [jnp.zeros_like(a) for a in arrays]
-        for dd in range(-star_span, star_span + 1):
+
+        def body(t, outs):
+            dd = t - star_span
             m = d == dd
-            outs = [jnp.where(m, jnp.roll(a, -dd, axis=1), o)
-                    for a, o in zip(arrays, outs)]
-        return outs
+            return tuple(jnp.where(m, jnp.roll(a, -dd, axis=1), o)
+                         for a, o in zip(arrays, outs))
+
+        return list(jax.lax.fori_loop(
+            0, 2 * star_span + 1, body,
+            tuple(jnp.zeros_like(a) for a in arrays)))
 
     opv1, val3, t_sv, t_ndx = [], [], [], []
     for k in range(3):
@@ -871,8 +882,11 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
         + [pad(a, -(10 ** 9)) for a in t_sv] + [pad(a) for a in t_ndx]
         + [jnp.broadcast_to(st_wt[:, None], (BT, 128))]
     )
-    score, traceb, ov, _ = _run_kernel_b(args, W, NP, BT, BLK, MAX_CHUNKS,
-                                         interpret)
+    # per-block max valid node count bounds the kernel's node loop
+    nn_item = jnp.sum((valid != 0).astype(jnp.int32), axis=1)
+    nmax = jnp.max(nn_item.reshape(BT // BLK, BLK), axis=1).astype(jnp.int32)
+    score, traceb, ov, _ = _run_kernel_b(args, nmax, W, NP, BT, BLK,
+                                         MAX_CHUNKS, interpret)
     # best terminal path score per item: max over valid 3'fwd / 5'rev nodes
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))
     terminal = jnp.pad(terminal, ((0, 0), (W, NP - W - n)))

@@ -1,10 +1,17 @@
 """Fully device-resident meta mode: scoring + DP fused in one dispatch.
 
 The whole per-bin pipeline — node scoring, star pointers, connection DP —
-runs on the accelerator (`score_device` + the Pallas kernel), so the host cost
-per contig is node extraction plus the bin-independent index precompute,
-and the exact C engine re-scores only the winning bin for output fidelity
-(reference: lib.pyx:5317-5396 for the sequential bin sweep this replaces).
+runs on the accelerator (`score_device` + the Pallas kernel), so the host
+cost per contig is node extraction plus the bin-independent index
+precompute, and the exact C engine re-scores only the winning bin for
+output fidelity (reference: lib.pyx:5317-5396 for the sequential bin
+sweep this replaces).
+
+Launch pipeline: work items are packed so a contig's bins never split
+across launches, every launch selects each contig's winning bin ON DEVICE
+(`score_device.pack_winners`) and returns one packed tensor, and the host
+pulls launches in order while the device runs later launches — winner
+rescore + finishing (exact C) overlaps device compute on a thread pool.
 """
 
 import concurrent.futures
@@ -86,11 +93,15 @@ class TpuMetaRunner:
 
     # -- device side -----------------------------------------------------------
 
-    def _sweep(self, work, geoms):
-        """work: list of (ci, bin_id, geom_key); geoms: {key: geometry}."""
-        if not work:
-            return None
-        BT = self.batch_size
+    def _sweep(self, work, geoms, slots):
+        """work: list of (ci, bin_id, geom_key); geoms: {key: geometry};
+        slots: {ci: contig slot in [0, C)}.  Returns the device handle of
+        the packed winner tensor (one pull per launch)."""
+        # a single contig's bin list may exceed a small configured batch
+        # size (tests); widen this launch to the next block multiple
+        BT = max(self.batch_size,
+                 (len(work) + self.block_size - 1)
+                 // self.block_size * self.block_size)
         G = self.max_geoms
         n = self.node_bucket
         S = self.seq_bucket
@@ -99,9 +110,11 @@ class TpuMetaRunner:
         packed = sd.pack_geometries([geoms[k] for k in keys], G, n, S)
         bin_idx = np.zeros(BT, np.int32)
         gidx = np.zeros(BT, np.int32)
-        for k, (_ci, b, gkey) in enumerate(work):
+        slot_idx = np.full(BT, G, np.int32)      # G = "no slot" sentinel
+        for k, (ci, b, gkey) in enumerate(work):
             bin_idx[k] = b
             gidx[k] = gmap[gkey]
+            slot_idx[k] = slots[ci]
         geo = {k: jnp.asarray(v) for k, v in packed.items()}
         W = self.window
         NP = W + int(np.ceil(n / 128) * 128) + 128
@@ -110,19 +123,17 @@ class TpuMetaRunner:
             has_nonsd=self.tables.any_nonsd, relk=self.relk,
             max_overlap=self.max_overlap, W=W, NP=NP,
             BLK=self.block_size, MAX_CHUNKS=dp_pallas.FIXED_CHUNKS,
-            interpret=self.interpret)
+            NB=n, C=G, interpret=self.interpret)
         if self.mesh is not None:
-            from ..parallel.meta_shard import sharded_score_dp_launch
+            from ..parallel.meta_shard import sharded_score_dp_launch_packed
 
-            score, traceb, ov, best = sharded_score_dp_launch(
+            return sharded_score_dp_launch_packed(
                 self.mesh, self.tables.as_tuple(), geo,
-                jnp.asarray(bin_idx), jnp.asarray(gidx), **kwargs)
-        else:
-            score, traceb, ov, best = sd.score_dp_launch(
-                self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
-                jnp.asarray(gidx), **kwargs)
-        return {"score": score, "traceb": traceb, "ov": ov, "best": best,
-                "work": work, "W": W}
+                jnp.asarray(bin_idx), jnp.asarray(gidx),
+                jnp.asarray(slot_idx), **kwargs)
+        return sd.score_dp_launch_packed(
+            self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
+            jnp.asarray(gidx), jnp.asarray(slot_idx), **kwargs)
 
     # -- finishing (host, exact C on the winning bin) -------------------------
 
@@ -150,11 +161,52 @@ class TpuMetaRunner:
         tinf = self.bins[bin_id].training_info
         nodes = nodes_by_tt[tinf.translation_table].copy()
         nodes.reset_scores()
+        # NOTE: runs concurrently on the prep pool — the refcore scoring /
+        # finishing entry points are state-free (see refcore.c header)
         nodes.score_nodes(seq, tinf, closed=self.closed, is_meta=True)
         nodes.record_overlapping_starts(tinf, 1, self.max_overlap)
         return nodes
 
     # -- driver ----------------------------------------------------------------
+
+    def _produce_fallback(self, seq, num_seq):
+        """Oversized contig: sequential exact-C meta path."""
+        from ..gene_finder import GeneFinder
+        gf = GeneFinder(
+            meta=True, metagenomic_bins=self.bins,
+            closed=self.closed, mask=self.mask,
+            min_mask=self.min_mask, min_gene=self.min_gene,
+            min_edge_gene=self.min_edge_gene,
+            max_overlap=self.max_overlap,
+            backend="refcore",   # never back into this runner
+        )
+        gf._num_seq = num_seq
+        return gf.find_genes(str(seq))
+
+    def _produce_winner(self, seq, num_seq, bin_id, nodes_by_tt, rows):
+        """Winner rescore (exact C) + finish for one contig."""
+        genes = Genes()
+        genes._num_seq = num_seq
+        genes.meta = True
+        genes.sequence = seq
+        nodes = self._score_winner(seq, nodes_by_tt, bin_id)
+        rows_s, rows_t, rows_o = rows
+        nn = nodes.length
+        W = self.window
+        tb = rows_t[:nn] - W
+        tb = np.where(tb >= -1, tb, -1)
+        return self._finish(genes, seq, bin_id, nodes,
+                            (rows_s[:nn], tb, rows_o[:nn]))
+
+    def _produce_empty(self, seq, num_seq):
+        genes = Genes()
+        genes._num_seq = num_seq
+        genes.meta = True
+        genes.sequence = seq
+        genes.nodes = Nodes()
+        genes.metagenomic_bin = None
+        genes.training_info = None
+        return genes
 
     def find_genes_batch(self, sequences, num_seq_start=1):
         contigs, preps = [], []
@@ -163,110 +215,79 @@ class TpuMetaRunner:
             contigs.append(seq)
             preps.append(self.pool.submit(self._prepare_contig, seq))
 
-        oversized = {}
+        futures = {}
         per_contig = []
         for ci, fut in enumerate(preps):
             cand, geoms, nodes_by_tt, fallback = fut.result()
             if fallback:
-                oversized[ci] = True
-                continue
-            per_contig.append((ci, cand, geoms, nodes_by_tt))
+                futures[ci] = self.pool.submit(
+                    self._produce_fallback, contigs[ci], num_seq_start + ci)
+            elif not cand:
+                futures[ci] = self.pool.submit(
+                    self._produce_empty, contigs[ci], num_seq_start + ci)
+            else:
+                per_contig.append((ci, cand, geoms, nodes_by_tt))
 
         nodes_maps = {ci: nbt for ci, _c, _g, nbt in per_contig}
 
-        # pack launches
-        launches = []
-        cur_work, cur_geoms = [], {}
+        # pack launches: a contig's bins never split across launches, and
+        # each contig takes one winner slot (slots <= max_geoms because
+        # every contig also consumes >= 1 geometry slot)
+        launches = []      # each: {"work", "geoms", "slots"}
+        cur_work, cur_geoms, cur_slots = [], {}, {}
         for ci, cand, geoms, _nbt in per_contig:
+            tts = {self.bins[b].training_info.translation_table
+                   for b in cand}
+            if cur_work and (
+                len(cur_work) + len(cand) > self.batch_size
+                or len(cur_geoms) + len(tts) > self.max_geoms
+            ):
+                launches.append({"work": cur_work, "geoms": cur_geoms,
+                                 "slots": cur_slots})
+                cur_work, cur_geoms, cur_slots = [], {}, {}
+            cur_slots[ci] = len(cur_slots)
             for b in cand:
                 tt = self.bins[b].training_info.translation_table
                 key = (ci, tt)
-                need_geom = key not in cur_geoms
-                if cur_work and (
-                    len(cur_work) + 1 > self.batch_size
-                    or len(cur_geoms) + need_geom > self.max_geoms
-                ):
-                    launches.append(self._sweep(cur_work, cur_geoms))
-                    cur_work, cur_geoms = [], {}
                 if key not in cur_geoms:
                     cur_geoms[key] = geoms[tt]
                 cur_work.append((ci, b, key))
         if cur_work:
-            launches.append(self._sweep(cur_work, cur_geoms))
-        launches = [r for r in launches if r]
+            launches.append({"work": cur_work, "geoms": cur_geoms,
+                             "slots": cur_slots})
 
-        # winner bin per contig: ONE stacked D2H for every launch's best
-        # vector (tunnel round trips dominate small pulls)
-        best = {}
-        if launches:
-            all_best = np.asarray(
-                jnp.concatenate([r["best"] for r in launches]))
-            for li, r in enumerate(launches):
-                off = li * self.batch_size
-                for k, (ci, b, _g) in enumerate(r["work"]):
-                    sc = float(all_best[off + k])
-                    if ci not in best or sc > best[ci][0]:
-                        best[ci] = (sc, b, (li, k))
+        # dispatch every launch asynchronously; the device queue pipelines
+        for L in launches:
+            L["dev"] = self._sweep(L["work"], L["geoms"], L["slots"])
 
-        # winner DP rows: fixed-shape packed gathers, ONE stacked D2H total
-        win_rows = {}
-        win_by_launch = {}
-        for ci, (_sc, _b, (li, k)) in best.items():
-            win_by_launch.setdefault(li, []).append((ci, k))
-        pulls = []
-        for li, pairs in win_by_launch.items():
-            r = launches[li]
-            K = self.max_geoms
-            for base in range(0, len(pairs), K):
-                chunk = pairs[base:base + K]
-                idx = np.zeros(K, np.int32)
-                for w, (_ci, k) in enumerate(chunk):
-                    idx[w] = k
-                pulls.append((chunk, r["W"], dp_pallas._gather_rows_packed(
-                    r["score"], r["traceb"], r["ov"], jnp.asarray(idx),
-                    W=r["W"], NB=self.node_bucket)))
-        if pulls:
-            stacked = np.asarray(jnp.stack([p[2] for p in pulls]))
-            for pi, (chunk, W, _dev) in enumerate(pulls):
-                rows_s = stacked[pi, 0].view(np.float32)
-                rows_t = stacked[pi, 1]
-                rows_o = stacked[pi, 2]
-                for w, (ci, _k) in enumerate(chunk):
-                    win_rows[ci] = (rows_s[w], rows_t[w], rows_o[w], W)
+        # pull in order — while the host finishes launch k's contigs, the
+        # device is already computing launch k+1
+        NB = self.node_bucket
+        for L in launches:
+            arr = np.asarray(L["dev"])       # (C, 3*NB + 2), one transfer
+            items_by_contig = {}
+            for k, (ci, b, _g) in enumerate(L["work"]):
+                items_by_contig.setdefault(ci, []).append((k, b))
+            for ci, slot in L["slots"].items():
+                row = arr[slot]
+                win_item = int(row[3 * NB])
+                best = float(np.int32(row[3 * NB + 1]).view(np.float32))
+                win_bin = None
+                if best > -100.0:
+                    for k, b in items_by_contig[ci]:
+                        if k == win_item:
+                            win_bin = b
+                            break
+                if win_bin is None:
+                    futures[ci] = self.pool.submit(
+                        self._produce_empty, contigs[ci],
+                        num_seq_start + ci)
+                    continue
+                rows_s = row[:NB].view(np.float32)
+                rows_t = row[NB:2 * NB]
+                rows_o = row[2 * NB:3 * NB]
+                futures[ci] = self.pool.submit(
+                    self._produce_winner, contigs[ci], num_seq_start + ci,
+                    win_bin, nodes_maps[ci], (rows_s, rows_t, rows_o))
 
-        # winner rescore + finish is exact-C host work per contig with no
-        # shared state — run it on the prep thread pool
-        def _produce(ci):
-            seq = contigs[ci]
-            if ci in oversized:
-                from ..gene_finder import GeneFinder
-                gf = GeneFinder(
-                    meta=True, metagenomic_bins=self.bins,
-                    closed=self.closed, mask=self.mask,
-                    min_mask=self.min_mask, min_gene=self.min_gene,
-                    min_edge_gene=self.min_edge_gene,
-                    max_overlap=self.max_overlap,
-                    backend="refcore",   # never back into this runner
-                )
-                gf._num_seq = num_seq_start + ci
-                return gf.find_genes(str(seq))
-            genes = Genes()
-            genes._num_seq = num_seq_start + ci
-            genes.meta = True
-            genes.sequence = seq
-            if ci in best and best[ci][0] > -100.0:
-                _sc, b, _lk = best[ci]
-                nodes = self._score_winner(seq, nodes_maps[ci], b)
-                rows_s, rows_t, rows_o, W = win_rows[ci]
-                nn = nodes.length
-                tb = rows_t[:nn] - W
-                tb = np.where(tb >= -1, tb, -1)
-                self._finish(genes, seq, b, nodes,
-                             (rows_s[:nn], tb, rows_o[:nn]))
-            else:
-                genes.nodes = Nodes()
-                genes.metagenomic_bin = None
-                genes.training_info = None
-            return genes
-
-        return list(self.pool.map(_produce, range(len(contigs))))
+        return [futures[ci].result() for ci in range(len(contigs))]

@@ -266,10 +266,13 @@ def _sel_phase(scan, phase):
 def _row_lookup_small(rows, idx, K):
     """``rows[b, idx[b, n]]`` for a small per-item table (K <= ~32) as a
     select sweep (general gathers are near-scalar on TPU)."""
-    out = jnp.broadcast_to(rows[:, 0:1], idx.shape)
-    for v in range(1, K):
-        out = jnp.where(idx == v, rows[:, v:v + 1], out)
-    return out
+
+    def body(v, out):
+        wv = jax.lax.dynamic_slice_in_dim(rows, v, 1, axis=1)
+        return jnp.where(idx == v, wv, out)
+
+    return jax.lax.fori_loop(
+        1, K, body, jnp.broadcast_to(rows[:, 0:1], idx.shape))
 
 
 def _rbs_winner(masks, rbs_row):
@@ -277,15 +280,18 @@ def _rbs_winner(masks, rbs_row):
     (reference: lib.pyx:884-887 tie rules): per window position the best
     index by (weight, index); then the max index over positions
     (reference: lib.pyx:2262-2274)."""
-    BT = masks.shape[0]
-    bw = jnp.broadcast_to(rbs_row[:, 0][:, None, None], masks.shape)
-    bi = jnp.zeros(masks.shape, jnp.int32)
-    for v in range(1, 28):
+
+    def body(v, carry):
+        bw, bi = carry
         bit = (masks >> v) & 1
-        wv = rbs_row[:, v][:, None, None]
+        wv = jax.lax.dynamic_slice_in_dim(rbs_row, v, 1, axis=1)[:, :, None]
         upd = (bit != 0) & (wv >= bw)
-        bw = jnp.where(upd, wv, bw)
-        bi = jnp.where(upd, v, bi)
+        return jnp.where(upd, wv, bw), jnp.where(upd, v, bi)
+
+    bw0 = jnp.broadcast_to(rbs_row[:, 0][:, None, None], masks.shape
+                           ).astype(rbs_row.dtype)
+    bi0 = jnp.zeros(masks.shape, jnp.int32)
+    _, bi = jax.lax.fori_loop(1, 28, body, (bw0, bi0))
     return jnp.max(bi, axis=2)
 
 
@@ -617,10 +623,17 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     # just picks its (geometry, bin) row.
     G = g_ups_flat.shape[0]
     NBINS = ups_comp.shape[0]
-    counts = jnp.zeros(g_ups_flat.shape[:2] + (128,), F32)
-    for k in range(32):
-        oh = jax.nn.one_hot(g_ups_flat[:, :, k], 128, dtype=F32)
-        counts = counts + jnp.where(g_uok[:, :, k:k + 1], oh, 0.0)
+
+    def ups_body(k, counts):
+        code = jax.lax.dynamic_index_in_dim(g_ups_flat, k, axis=2,
+                                            keepdims=False)
+        okk = jax.lax.dynamic_index_in_dim(g_uok, k, axis=2,
+                                           keepdims=True)
+        oh = jax.nn.one_hot(code, 128, dtype=F32)
+        return counts + jnp.where(okk, oh, 0.0)
+
+    counts = jax.lax.fori_loop(
+        0, 32, ups_body, jnp.zeros(g_ups_flat.shape[:2] + (128,), F32))
     u_all = jnp.einsum("gnc,Bc->gBn", counts, ups_comp,
                        precision=jax.lax.Precision.HIGHEST)
     u_base = jnp.take(u_all.reshape(G * NBINS, n),
@@ -714,39 +727,52 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     # (prepare_geometry verified the span), so each scan step is a fixed
     # SHIFT of the node tensors — forward stops walk j = i+3-k, reverse
     # stops j = i+k-3 — rather than a general (slow on TPU) gather.  The
-    # two stop populations are disjoint rows, so running them as two
-    # sequential shift-loops preserves the reference's per-row scan order.
-    for stop_sel, sgn in ((fstop, +1), (rstop, -1)):
-        for k in range(relk):
-            d = sgn * (3 - k)
-            j = iidx + d
-            ndx_j = sh(ndx, d)
-            sc_j = sh(cs_tot, d)
-            rsc_j = sh(rsc, d)
-            usc_j = sh(usc, d)
-            typ_j = sh(typ, d)
-            str_j = sh(strand, d)
-            sv_j = sh(stop_val, d)
-            val_j = sh(valid, d)
-            if sgn > 0:
-                okd = (stop_sel & (str_j == 1) & (ndx_j <= ndx + 2)
-                       & (ndx_j + mo >= ndx) & (sv_j > ndx))
-                igm = dp_pallas._igm_same_jnp(
-                    ndx_i, strand, rsc_i, usc_i, ndx_j, rsc_j, usc_j, stw)
-            else:
-                okd = (stop_sel & (str_j == -1) & (ndx_j >= ndx - 2)
-                       & (ndx_j - mo <= ndx) & (sv_j < ndx))
-                igm = dp_pallas._igm_same_jnp(
-                    ndx_j, jnp.full_like(ndx_j, -1), rsc_j, usc_j,
-                    ndx_i, rsc_i, usc_i, stw)
-            ok = ((j >= 0) & (j < n) & (val_j != 0) & (typ_j != STOP)
-                  & okd)
-            sc = sc_j + igm
-            upd = ok & (sc > runmax)
-            phj = ndx_j % 3
-            for f in range(3):
-                ptr[f] = jnp.where(upd & (phj == f), j, ptr[f])
-            runmax = jnp.where(upd, sc, runmax)
+    # two stop populations occupy disjoint columns, so the two scans fold
+    # into one fori_loop (steps t < relk sweep forward stops, t >= relk
+    # reverse stops) with column-disjoint runmax updates — identical
+    # results to two sequential unrolled loops, at 1/64th the HLO size.
+    def star_body(t, carry):
+        runmax, p0, p1, p2 = carry
+        is_f = t < relk
+        k = jnp.where(is_f, t, t - relk)
+        d = jnp.where(is_f, 3 - k, k - 3)
+        j = iidx + d
+        ndx_j = sh(ndx, d)
+        sc_j = sh(cs_tot, d)
+        rsc_j = sh(rsc, d)
+        usc_j = sh(usc, d)
+        typ_j = sh(typ, d)
+        str_j = sh(strand, d)
+        sv_j = sh(stop_val, d)
+        val_j = sh(valid, d)
+        okd = jnp.where(
+            is_f,
+            fstop & (str_j == 1) & (ndx_j <= ndx + 2)
+            & (ndx_j + mo >= ndx) & (sv_j > ndx),
+            rstop & (str_j == -1) & (ndx_j >= ndx - 2)
+            & (ndx_j - mo <= ndx) & (sv_j < ndx))
+        # intergenic modifier runs gene-before -> gene-after: for a forward
+        # stop the candidate start j is downstream (i -> j), for a reverse
+        # stop upstream (j -> i)
+        igm = dp_pallas._igm_same_jnp(
+            jnp.where(is_f, ndx_i, ndx_j),
+            jnp.where(is_f, strand, -1),
+            jnp.where(is_f, rsc_i, rsc_j),
+            jnp.where(is_f, usc_i, usc_j),
+            jnp.where(is_f, ndx_j, ndx_i),
+            jnp.where(is_f, rsc_j, rsc_i),
+            jnp.where(is_f, usc_j, usc_i), stw)
+        ok = (j >= 0) & (j < n) & (val_j != 0) & (typ_j != STOP) & okd
+        sc = sc_j + igm
+        upd = ok & (sc > runmax)
+        phj = ndx_j % 3
+        p0 = jnp.where(upd & (phj == 0), j, p0)
+        p1 = jnp.where(upd & (phj == 1), j, p1)
+        p2 = jnp.where(upd & (phj == 2), j, p2)
+        return jnp.where(upd, sc, runmax), p0, p1, p2
+
+    runmax, *ptr = jax.lax.fori_loop(
+        0, 2 * relk, star_body, (runmax, ptr[0], ptr[1], ptr[2]))
     star_ptr = jnp.stack(ptr)                          # (3, BT, n)
 
     return (ndx, stop_val, typ, strand, win_lo, valid,
@@ -772,6 +798,50 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
         ndx, stop_val, typ, strand, win_lo, valid,
         cscore + ssc, rsc, usc, star_ptr, stw,
         W, NP, BT, BLK, MAX_CHUNKS, interpret, star_span=relk + 4)
+
+
+def pack_winners(score, traceb, ov, best, slot_idx, W, NB, C):
+    """Per-contig winner selection + row gather, on device.
+
+    `slot_idx` maps each work item to its contig slot in [0, C) (padded
+    items carry slot C, matching no slot).  For each slot the winning item
+    is the FIRST item attaining the max path score — item order within a
+    launch is bin order, so this reproduces the reference's sequential
+    `score > max_score` sweep (reference: lib.pyx:5363-5365).
+
+    Returns one (C, 3*NB + 2) int32 tensor per launch: the winner's score
+    row (f32 bits), traceback row, ov_mark row, then [win_item,
+    best_score_bits] — a single device->host transfer delivers every
+    contig's winner."""
+    Cr = jnp.arange(C)[:, None]
+    masked = jnp.where(slot_idx[None, :] == Cr, best[None, :],
+                       jnp.float32(-3e38))                  # (C, BT)
+    win_item = jnp.argmax(masked, axis=1).astype(jnp.int32)  # first max
+    win_best = jnp.max(masked, axis=1)
+    rows_s = jax.lax.bitcast_convert_type(
+        score[win_item, W:W + NB], jnp.int32)
+    rows_t = traceb[win_item, W:W + NB]
+    rows_o = ov[win_item, W:W + NB]
+    meta = jnp.stack(
+        [win_item, jax.lax.bitcast_convert_type(win_best, jnp.int32)],
+        axis=1)
+    return jnp.concatenate([rows_s, rows_t, rows_o, meta], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "is_meta", "closed", "S3", "has_nonsd", "relk", "max_overlap",
+    "W", "NP", "BLK", "MAX_CHUNKS", "NB", "C", "interpret"))
+def score_dp_launch_packed(tables, geo, bin_idx, gidx, slot_idx, *,
+                           is_meta, closed, S3, has_nonsd, relk,
+                           max_overlap, W, NP, BLK, MAX_CHUNKS, NB, C,
+                           interpret=False):
+    """`score_dp_launch` + on-device winner selection: one launch, one
+    (C, 3*NB + 2) result tensor, one device->host pull."""
+    score, traceb, ov, best = score_dp_launch(
+        tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed, S3=S3,
+        has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap, W=W,
+        NP=NP, BLK=BLK, MAX_CHUNKS=MAX_CHUNKS, interpret=interpret)
+    return pack_winners(score, traceb, ov, best, slot_idx, W, NB, C)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -43,3 +43,27 @@ def sharded_score_dp_launch(mesh, tables, geo, bin_idx, gidx, *, is_meta,
             W=W, NP=NP, BLK=BLK, MAX_CHUNKS=MAX_CHUNKS, interpret=interpret)
 
     return run(tables, geo, bin_idx, gidx)
+
+
+def sharded_score_dp_launch_packed(mesh, tables, geo, bin_idx, gidx,
+                                   slot_idx, *, is_meta, closed, S3,
+                                   has_nonsd, relk, max_overlap, W, NP,
+                                   BLK, MAX_CHUNKS, NB, C,
+                                   interpret=False):
+    """Sharded sweep + on-device per-contig winner packing.
+
+    The per-item sweep runs data-parallel over the mesh's contig axis; the
+    winner reduction (`pack_winners`) spans the whole launch, so it runs
+    outside the shard_map on the logically-global arrays — XLA inserts the
+    gather collectives over ICI."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(tables_, geo_, bin_idx_, gidx_, slot_idx_):
+        score, traceb, ov, best = sharded_score_dp_launch(
+            mesh, tables_, geo_, bin_idx_, gidx_, is_meta=is_meta,
+            closed=closed, S3=S3, has_nonsd=has_nonsd, relk=relk,
+            max_overlap=max_overlap, W=W, NP=NP, BLK=BLK,
+            MAX_CHUNKS=MAX_CHUNKS, interpret=interpret)
+        return sd.pack_winners(score, traceb, ov, best, slot_idx_, W, NB, C)
+
+    return run(tables, geo, bin_idx, gidx, slot_idx)

@@ -44,64 +44,53 @@ tick("prep", t0)
 per_contig = [(ci, c, g, n) for ci, (c, g, n, fb) in enumerate(res) if not fb]
 print("fallbacks:", sum(1 for (_c,_g,_n,fb) in res if fb))
 
-# phase 3: sweeps
+# phase 3: sweeps (contig-aligned packing + on-device winner select)
 t0 = time.time()
 launches = []
-cur_work, cur_geoms = [], {}
+cur_work, cur_geoms, cur_slots = [], {}, {}
 for ci, cand, geoms, _nbt in per_contig:
+    tts = {runner.bins[b].training_info.translation_table for b in cand}
+    if cur_work and (len(cur_work) + len(cand) > runner.batch_size
+                     or len(cur_geoms) + len(tts) > runner.max_geoms):
+        launches.append({"work": cur_work,
+                         "dev": runner._sweep(cur_work, cur_geoms, cur_slots),
+                         "slots": cur_slots})
+        cur_work, cur_geoms, cur_slots = [], {}, {}
+    cur_slots[ci] = len(cur_slots)
     for b in cand:
         tt = runner.bins[b].training_info.translation_table
         key = (ci, tt)
-        need_geom = key not in cur_geoms
-        if cur_work and (len(cur_work) + 1 > runner.batch_size
-                         or len(cur_geoms) + need_geom > runner.max_geoms):
-            launches.append(runner._sweep(cur_work, cur_geoms))
-            cur_work, cur_geoms = [], {}
         if key not in cur_geoms:
             cur_geoms[key] = geoms[tt]
         cur_work.append((ci, b, key))
 if cur_work:
-    launches.append(runner._sweep(cur_work, cur_geoms))
-launches = [r for r in launches if r]
+    launches.append({"work": cur_work,
+                     "dev": runner._sweep(cur_work, cur_geoms, cur_slots),
+                     "slots": cur_slots})
 tick("sweep_dispatch", t0)
 t0 = time.time()
 for r in launches:
-    r["best"].block_until_ready()
+    r["dev"].block_until_ready()
 tick("sweep_sync", t0)
 print("launches:", len(launches), "items:", sum(len(r["work"]) for r in launches))
 
-# phase 4: winner pulls
+# phase 4: winner pulls (one packed transfer per launch)
 t0 = time.time()
+NB = runner.node_bucket
 best = {}
-for li, r in enumerate(launches):
-    lb = np.asarray(r["best"])
-    for k, (ci, b, _g) in enumerate(r["work"]):
-        sc = float(lb[k])
-        if ci not in best or sc > best[ci][0]:
-            best[ci] = (sc, b, (li, k))
-win_by_launch = {}
-for ci, (_sc, _b, (li, k)) in best.items():
-    win_by_launch.setdefault(li, []).append((ci, k))
-n_pull = 0
-for li, pairs in win_by_launch.items():
-    r = launches[li]
-    K = runner.max_geoms
-    for base in range(0, len(pairs), K):
-        chunk = pairs[base:base+K]
-        idx = np.zeros(K, np.int32)
-        for w, (_ci, k) in enumerate(chunk):
-            idx[w] = k
-        rows = dp_pallas._gather_rows_w(r["score"], r["traceb"], r["ov"], jnp.asarray(idx), W=r["W"], NB=runner.node_bucket)
-        _ = [np.asarray(x) for x in rows]
-        n_pull += 1
+for r in launches:
+    arr = np.asarray(r["dev"])
+    for ci, slot in r["slots"].items():
+        row = arr[slot]
+        win_item = int(row[3 * NB])
+        sc = float(np.int32(row[3 * NB + 1]).view(np.float32))
+        best[ci] = (sc, r["work"][win_item][1])
 tick("winner_pull", t0)
-print("pulls:", n_pull)
 
 # phase 5: winner re-score + finish (host C)
 t0 = time.time()
-from pyrodigal_tpu.genes import Genes
 nodes_maps = {ci: nbt for ci, _c, _g, nbt in per_contig}
-for ci, (sc, b, _lk) in best.items():
+for ci, (sc, b) in best.items():
     if sc > -100:
         nodes = runner._score_winner(seqs[ci], nodes_maps[ci], b)
 tick("winner_rescore", t0)
