@@ -63,6 +63,8 @@ class GeneFinder:
         self.backend = backend
         self._num_seq = 1
         self._meta_runner = None
+        self._single_runner = None
+        self._single_runner_tinf = None
         if metagenomic_bins is None:
             from .metagenomic import METAGENOMIC_BINS
             self.metagenomic_bins = METAGENOMIC_BINS
@@ -101,6 +103,36 @@ class GeneFinder:
                     max_overlap=self.max_overlap,
                 )
             return self._meta_runner
+
+    def _get_single_runner(self):
+        """Device-native single mode: the fused scoring+DP pipeline with
+        ONE bin (the trained `TrainingInfo`), is_meta=False — the single
+        and meta call stacks share the accelerator path, like the
+        reference's always-on backend dispatch (lib.pyx:1359-1432)."""
+        with self.lock:
+            tinf = self.training_info
+            if self._single_runner is None \
+                    or self._single_runner_tinf is not tinf:
+                from .ops.meta_tpu import TpuMetaRunner
+
+                class _SingleBin:
+                    description = "single"
+
+                    def __init__(self, ti):
+                        self.training_info = ti
+
+                self._single_runner = TpuMetaRunner(
+                    [_SingleBin(tinf)],
+                    is_meta=False,
+                    closed=self.closed,
+                    mask=self.mask,
+                    min_mask=self.min_mask,
+                    min_gene=self.min_gene,
+                    min_edge_gene=self.min_edge_gene,
+                    max_overlap=self.max_overlap,
+                )
+                self._single_runner_tinf = tinf
+            return self._single_runner
 
     def __repr__(self):
         template = []
@@ -183,7 +215,7 @@ class GeneFinder:
 
     def _dp(self, nodes, tinf):
         """Dispatch the final-mode DP to the configured backend."""
-        if self.backend in ("jax", "tpu") and nodes.length > 0:
+        if self._resolve_backend() == "jax" and nodes.length > 0:
             import ctypes
             import numpy as np
             import jax.numpy as jnp
@@ -272,12 +304,14 @@ class GeneFinder:
             raise RuntimeError(
                 "cannot find genes without having trained in single mode"
             )
-        if self.meta and len(self.metagenomic_bins) > 0 \
-                and self._resolve_backend() == "jax":
+        if self._resolve_backend() == "jax" and (
+                (self.meta and len(self.metagenomic_bins) > 0)
+                or not self.meta):
             with self.lock:
                 num_seq = self._num_seq
                 self._num_seq += 1
-            runner = self._get_meta_runner()
+            runner = self._get_meta_runner() if self.meta \
+                else self._get_single_runner()
             return runner.find_genes_batch([sequence],
                                            num_seq_start=num_seq)[0]
         seq = Sequence(sequence, mask=self.mask, mask_size=self.min_mask)
@@ -317,12 +351,14 @@ class GeneFinder:
             raise RuntimeError(
                 "cannot find genes without having trained in single mode"
             )
-        if self.meta and len(self.metagenomic_bins) > 0 \
-                and self._resolve_backend() == "jax":
+        if self._resolve_backend() == "jax" and (
+                (self.meta and len(self.metagenomic_bins) > 0)
+                or not self.meta):
             with self.lock:
                 num_seq = self._num_seq
                 self._num_seq += len(sequences)
-            runner = self._get_meta_runner()
+            runner = self._get_meta_runner() if self.meta \
+                else self._get_single_runner()
             return runner.find_genes_batch(sequences,
                                            num_seq_start=num_seq)
         return [self.find_genes(s) for s in sequences]

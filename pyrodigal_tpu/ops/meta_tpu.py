@@ -33,8 +33,15 @@ class TpuMetaRunner:
                  min_edge_gene=60, max_overlap=60, mask=False, min_mask=50,
                  node_bucket=3072, seq_bucket=49152, batch_size=128,
                  block_size=16, max_geoms=16, relk=32, window=640,
-                 prep_threads=8, interpret=False, mesh=None):
+                 prep_threads=8, interpret=None, mesh=None, is_meta=True):
+        if interpret is None:
+            # Mosaic kernels need TPU hardware; on CPU (tests, forced
+            # backend="jax") fall back to the Pallas interpreter
+            import jax
+
+            interpret = jax.devices()[0].platform not in ("tpu", "gpu")
         self.bins = metagenomic_bins
+        self.is_meta = is_meta
         self.mesh = mesh
         self.closed = closed
         self.min_gene = min_gene
@@ -57,6 +64,8 @@ class TpuMetaRunner:
     # -- host side -----------------------------------------------------------
 
     def _candidate_bins(self, seq):
+        if not self.is_meta:
+            return [0] if len(self.bins) else []
         low = min(0.65, 0.88495 * seq.gc - 0.0102337)
         high = max(0.35, 0.86596 * seq.gc + 0.1131991)
         return [
@@ -64,15 +73,71 @@ class TpuMetaRunner:
             if low <= self.bins[i].training_info.gc <= high
         ]
 
+    # mega-route static buckets: node count (multiples of the kernel TILE)
+    # and sequence length (multiples of 196608 = lcm(384, 65536)); finer
+    # steps cost one cached compile each but trim padded-node compute
+    MEGA_NT = (16384, 32768, 65536, 98304, 131072, 163840, 196608, 262144)
+    MEGA_SB = (393216, 786432, 1179648, 1572864, 1966080, 2359296,
+               2555904, 3145728, 4718592, 6291456)
+    MEGA_SW = 131072        # per-2048-node-tile sequence span bound
+
+    @staticmethod
+    def _tile_span(ndx, nn, T=2048):
+        if nn == 0:
+            return 0
+        starts = np.arange(0, nn, T)
+        hi = np.minimum(starts + (T - 1), nn - 1)
+        return int((ndx[hi] - ndx[starts]).max())
+
+    def _compactify(self, g):
+        """Gap-compacted window source: keep [ndx-56, ndx+56] around every
+        node (merged), drop node-free stretches.  Window reads span at
+        most +-54 bp of a node, so the compact digits reproduce every
+        window byte; adds c_ndx / cdigits / c_slen to the geometry."""
+        slen = g["slen"]
+        ndx = g["ndx"].astype(np.int64)          # sorted (compare_nodes)
+        M = 56
+        diff = np.zeros(slen + 1, np.int32)
+        np.add.at(diff, np.maximum(ndx - M, 0), 1)
+        np.add.at(diff, np.minimum(ndx + M + 1, slen), -1)
+        mask = np.cumsum(diff[:-1]) > 0
+        cs = np.cumsum(mask)
+        cdig = np.ascontiguousarray(g["digits"][mask])
+        c_ndx = (cs[ndx] - 1).astype(np.int32)
+        return dict(g, c_ndx=c_ndx, cdigits=cdig, c_len=int(cs[-1]))
+
+    def _mega_ok(self, g):
+        """Geometry constraints of the node-axis-gridded mega path.
+        May add the gap-compacted window source to `g` in place."""
+        nn = g["nn"]
+        if nn == 0 or nn > self.MEGA_NT[-1] or g["star_overflow"]:
+            return False
+        if g["slen"] > self.MEGA_SB[-1]:
+            return False
+        ext = int((np.arange(nn) - g["win_lo"]).max())
+        if ext > dp_pallas.MEGA_CHUNKS * dp_pallas.W_MEGA:
+            return False
+        # consecutive-node-tile sequence span (window gather locality);
+        # gap compaction collapses node-free stretches when it overflows
+        if self._tile_span(g["ndx"], nn) + 512 > self.MEGA_SW:
+            gc = self._compactify(g)
+            if self._tile_span(np.sort(gc["c_ndx"][:nn]), nn) + 512 \
+                    > self.MEGA_SW:
+                return False
+            g.update(gc)
+        return True
+
     def _prepare_contig(self, seq):
-        """Returns (bin_ids, geoms, nodes_by_tt, fallback)."""
+        """Returns (bin_ids, geoms, nodes_by_tt, route) with route one of
+        "std" (bucketed batch path), "mega" (node-axis-gridded path for
+        Mbp-scale contigs), "c" (host C fallback)."""
         cand = self._candidate_bins(seq)
         geoms, nodes_by_tt = {}, {}
         budget = dp_pallas.FIXED_CHUNKS * self.window
-        fallback = seq.slen > self.seq_bucket
+        route = "std" if seq.slen <= self.seq_bucket else "mega"
         for b in cand:
             tt = self.bins[b].training_info.translation_table
-            if fallback or tt in geoms:
+            if route == "c" or tt in geoms:
                 continue
             nodes = Nodes()
             nodes.extract(
@@ -84,12 +149,20 @@ class TpuMetaRunner:
             g = sd.prepare_geometry(seq, nodes, tt, self.closed,
                                     self.max_overlap, self.relk)
             nn = g["nn"]
-            if (nn > self.node_bucket or g["star_overflow"]
+            if route == "std" and (
+                    nn > self.node_bucket or g["star_overflow"]
                     or (nn and int((np.arange(nn) - g["win_lo"]).max())
                         > budget)):
-                fallback = True
+                route = "mega"
             geoms[tt] = g
-        return cand, geoms, nodes_by_tt, fallback
+        if route == "mega":
+            # validate EVERY geometry against the mega constraints (the
+            # route may have been upgraded after earlier tts were seen)
+            for g in geoms.values():
+                if not self._mega_ok(g):
+                    route = "c"
+                    break
+        return cand, geoms, nodes_by_tt, route
 
     # -- device side -----------------------------------------------------------
 
@@ -118,9 +191,13 @@ class TpuMetaRunner:
         geo = {k: jnp.asarray(v) for k, v in packed.items()}
         W = self.window
         NP = W + int(np.ceil(n / 128) * 128) + 128
+        # the non-SD motif machinery compiles in only when some bin of
+        # THIS launch needs it (two cached variants at most)
+        nonsd = bool((self.tables.uses_sd_np[
+            [b for _ci, b, _g in work]] == 0).any())
         kwargs = dict(
-            is_meta=True, closed=self.closed, S3=S // 3,
-            has_nonsd=self.tables.any_nonsd, relk=self.relk,
+            is_meta=self.is_meta, closed=self.closed, S3=S // 3,
+            has_nonsd=nonsd, relk=self.relk,
             max_overlap=self.max_overlap, W=W, NP=NP,
             BLK=self.block_size, MAX_CHUNKS=dp_pallas.FIXED_CHUNKS,
             NB=n, C=G, interpret=self.interpret)
@@ -135,25 +212,61 @@ class TpuMetaRunner:
             self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
             jnp.asarray(gidx), jnp.asarray(slot_idx), **kwargs)
 
+    def _sweep_mega(self, g, bin_rows):
+        """One mega launch: one Mbp-scale geometry, <= 16 bins as rows.
+        Returns (device handle, NT bucket)."""
+        NT = next(b for b in self.MEGA_NT if b >= g["nn"])
+        SB = next(b for b in self.MEGA_SB if b >= g["slen"])
+        BT = 16
+        packed = sd.pack_geometries([g], 1, NT, SB)
+        bin_idx = np.zeros(BT, np.int32)
+        slot_idx = np.ones(BT, np.int32)       # 1 = "no slot" (C = 1)
+        for k, b in enumerate(bin_rows):
+            bin_idx[k] = b
+            slot_idx[k] = 0
+        geo = {k: jnp.asarray(v) for k, v in packed.items()}
+        if "cdigits" in g:
+            # gap-compacted window source (see _compactify)
+            SCB = next(b for b in self.MEGA_SB if b >= g["c_len"])
+            cd = np.zeros((1, SCB), np.uint8)
+            cd[0, :g["c_len"]] = g["cdigits"]
+            cn = np.zeros((1, NT), np.int32)
+            cn[0, :g["nn"]] = g["c_ndx"]
+            geo["cdigits"] = jnp.asarray(cd)
+            geo["c_ndx"] = jnp.asarray(cn)
+            geo["c_slen"] = jnp.asarray(
+                np.array([g["c_len"]], np.int32))
+        nonsd = bool((self.tables.uses_sd_np[list(bin_rows)] == 0).any())
+        dev = sd.score_dp_launch_mega(
+            self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
+            jnp.asarray(np.zeros(BT, np.int32)), jnp.asarray(slot_idx),
+            is_meta=self.is_meta, closed=self.closed, S3=SB // 3,
+            has_nonsd=nonsd, relk=self.relk,
+            max_overlap=self.max_overlap, NB=NT, interpret=self.interpret)
+        return dev, NT
+
     # -- finishing (host, exact C on the winning bin) -------------------------
 
-    def _finish(self, genes, seq, bin_id, nodes, dp_state):
+    def _finish(self, genes, seq, bin_id, nodes, ipath, nodes_by_tt):
         tinf = self.bins[bin_id].training_info
-        nn = nodes.length
-        score, traceb, ovm = dp_state
-        nodes.score[:nn] = score.astype(np.float64)
-        nodes.traceb[:nn] = traceb
-        nodes.ov_mark[:nn] = ovm
-        import ctypes
-        from .. import _native
-        s = nodes._struct()
-        ipath = _native.lib.rc_dp_finish(ctypes.byref(s))
-        if nn > 0:
+        if nodes.length > 0:
             nodes.eliminate_bad_genes(ipath, tinf)
         genes._extract(nodes, ipath)
         genes._tweak_final_starts(nodes, tinf, self.max_overlap)
-        genes.nodes = nodes
-        genes.metagenomic_bin = self.bins[bin_id]
+        if self.is_meta:
+            # the reference re-extracts + rescores the nodes for the
+            # winning bin after the sweep, so the written per-gene scores
+            # are the fresh model scores WITHOUT the eliminate/tweak
+            # adjustments (lib.pyx:5380-5394); single mode keeps the
+            # adjusted nodes (lib.pyx:5281-5315)
+            out = nodes_by_tt[tinf.translation_table].copy()
+            out.reset_scores()
+            out.score_nodes(seq, tinf, closed=self.closed, is_meta=True)
+            genes.nodes = out
+        else:
+            genes.nodes = nodes
+        genes.metagenomic_bin = self.bins[bin_id] if self.is_meta \
+            else None
         genes.training_info = tinf
         return genes
 
@@ -163,45 +276,82 @@ class TpuMetaRunner:
         nodes.reset_scores()
         # NOTE: runs concurrently on the prep pool — the refcore scoring /
         # finishing entry points are state-free (see refcore.c header)
-        nodes.score_nodes(seq, tinf, closed=self.closed, is_meta=True)
+        nodes.score_nodes(seq, tinf, closed=self.closed,
+                          is_meta=self.is_meta)
         nodes.record_overlapping_starts(tinf, 1, self.max_overlap)
         return nodes
 
     # -- driver ----------------------------------------------------------------
 
     def _produce_fallback(self, seq, num_seq):
-        """Oversized contig: sequential exact-C meta path."""
+        """Oversized contig: sequential exact-C path."""
         from ..gene_finder import GeneFinder
-        gf = GeneFinder(
-            meta=True, metagenomic_bins=self.bins,
-            closed=self.closed, mask=self.mask,
-            min_mask=self.min_mask, min_gene=self.min_gene,
-            min_edge_gene=self.min_edge_gene,
-            max_overlap=self.max_overlap,
-            backend="refcore",   # never back into this runner
-        )
+        if self.is_meta:
+            gf = GeneFinder(
+                meta=True, metagenomic_bins=self.bins,
+                closed=self.closed, mask=self.mask,
+                min_mask=self.min_mask, min_gene=self.min_gene,
+                min_edge_gene=self.min_edge_gene,
+                max_overlap=self.max_overlap,
+                backend="refcore",   # never back into this runner
+            )
+        else:
+            gf = GeneFinder(
+                training_info=self.bins[0].training_info,
+                closed=self.closed, mask=self.mask,
+                min_mask=self.min_mask, min_gene=self.min_gene,
+                min_edge_gene=self.min_edge_gene,
+                max_overlap=self.max_overlap,
+                backend="refcore",
+            )
         gf._num_seq = num_seq
         return gf.find_genes(str(seq))
 
-    def _produce_winner(self, seq, num_seq, bin_id, nodes_by_tt, rows):
-        """Winner rescore (exact C) + finish for one contig."""
+    # bins whose device (f32) path score sits within this margin of the
+    # winner are re-run on the exact engine too (f32 drift vs the f64 C
+    # anchor measured <= ~2e-5 relative; the margin is deliberately wide)
+    @staticmethod
+    def _margin(best):
+        return 1.0 + 1e-4 * abs(best)
+
+    def _produce_winner(self, seq, num_seq, cands, nodes_by_tt):
+        """Exact finishing for one contig.
+
+        `cands`: [(bin_id, device_score)] — the device sweep's per-bin
+        path scores.  The winning bin (and any bin within the f32 drift
+        margin of it) is re-run through the exact f64 C engine —
+        score_nodes + star pointers + the full DP + finishing — so the
+        emitted genes are byte-exact Prodigal semantics for the selected
+        model by construction (reference sweep: lib.pyx:5339-5374)."""
         genes = Genes()
         genes._num_seq = num_seq
-        genes.meta = True
+        genes.meta = self.is_meta
         genes.sequence = seq
-        nodes = self._score_winner(seq, nodes_by_tt, bin_id)
-        rows_s, rows_t, rows_o = rows
-        nn = nodes.length
-        W = self.window
-        tb = rows_t[:nn] - W
-        tb = np.where(tb >= -1, tb, -1)
-        return self._finish(genes, seq, bin_id, nodes,
-                            (rows_s[:nn], tb, rows_o[:nn]))
+        best_dev = max(s for _b, s in cands)
+        close = sorted(b for b, s in cands
+                       if s >= best_dev - self._margin(best_dev))
+        max_score = -100.0
+        chosen = None
+        for b in close:                     # ascending bin order, like the
+            tinf = self.bins[b].training_info   # reference's > sweep
+            nodes = self._score_winner(seq, nodes_by_tt, b)
+            ipath = nodes.dynamic_programming(tinf, final=True)
+            if nodes.length > 0 and ipath >= 0 \
+                    and nodes.score[ipath] > max_score:
+                max_score = nodes.score[ipath]
+                chosen = (b, nodes, ipath)
+        if chosen is None:
+            genes.nodes = Nodes()
+            genes.metagenomic_bin = None
+            genes.training_info = None
+            return genes
+        return self._finish(genes, seq, chosen[0], chosen[1], chosen[2],
+                            nodes_by_tt)
 
     def _produce_empty(self, seq, num_seq):
         genes = Genes()
         genes._num_seq = num_seq
-        genes.meta = True
+        genes.meta = self.is_meta
         genes.sequence = seq
         genes.nodes = Nodes()
         genes.metagenomic_bin = None
@@ -217,18 +367,34 @@ class TpuMetaRunner:
 
         futures = {}
         per_contig = []
+        mega_launches = []
+        nodes_maps = {}
         for ci, fut in enumerate(preps):
-            cand, geoms, nodes_by_tt, fallback = fut.result()
-            if fallback:
+            cand, geoms, nodes_by_tt, route = fut.result()
+            if route == "c":
                 futures[ci] = self.pool.submit(
                     self._produce_fallback, contigs[ci], num_seq_start + ci)
             elif not cand:
                 futures[ci] = self.pool.submit(
                     self._produce_empty, contigs[ci], num_seq_start + ci)
+            elif route == "mega":
+                # dispatch immediately — the device works on this contig
+                # while later preps still run on the pool
+                nodes_maps[ci] = nodes_by_tt
+                by_tt = {}
+                for b in cand:
+                    tt = self.bins[b].training_info.translation_table
+                    by_tt.setdefault(tt, []).append(b)
+                entries = []
+                for tt, bs in by_tt.items():
+                    for base in range(0, len(bs), 16):
+                        rows = bs[base:base + 16]
+                        dev, NT = self._sweep_mega(geoms[tt], rows)
+                        entries.append({"dev": dev, "rows": rows, "NT": NT})
+                mega_launches.append((ci, entries))
             else:
+                nodes_maps[ci] = nodes_by_tt
                 per_contig.append((ci, cand, geoms, nodes_by_tt))
-
-        nodes_maps = {ci: nbt for ci, _c, _g, nbt in per_contig}
 
         # pack launches: a contig's bins never split across launches, and
         # each contig takes one winner slot (slots <= max_geoms because
@@ -256,38 +422,37 @@ class TpuMetaRunner:
             launches.append({"work": cur_work, "geoms": cur_geoms,
                              "slots": cur_slots})
 
-        # dispatch every launch asynchronously; the device queue pipelines
+        # dispatch every std launch asynchronously; the device pipelines
         for L in launches:
             L["dev"] = self._sweep(L["work"], L["geoms"], L["slots"])
 
         # pull in order — while the host finishes launch k's contigs, the
-        # device is already computing launch k+1
-        NB = self.node_bucket
-        for L in launches:
-            arr = np.asarray(L["dev"])       # (C, 3*NB + 2), one transfer
-            items_by_contig = {}
-            for k, (ci, b, _g) in enumerate(L["work"]):
-                items_by_contig.setdefault(ci, []).append((k, b))
-            for ci, slot in L["slots"].items():
-                row = arr[slot]
-                win_item = int(row[3 * NB])
-                best = float(np.int32(row[3 * NB + 1]).view(np.float32))
-                win_bin = None
-                if best > -100.0:
-                    for k, b in items_by_contig[ci]:
-                        if k == win_item:
-                            win_bin = b
-                            break
-                if win_bin is None:
-                    futures[ci] = self.pool.submit(
-                        self._produce_empty, contigs[ci],
-                        num_seq_start + ci)
-                    continue
-                rows_s = row[:NB].view(np.float32)
-                rows_t = row[NB:2 * NB]
-                rows_o = row[2 * NB:3 * NB]
+        # device is already computing launch k+1; each pull is one (BT,)
+        # bitcast best-score vector
+        def submit(ci, cands):
+            if not cands or max(s for _b, s in cands) <= -100.0:
+                futures[ci] = self.pool.submit(
+                    self._produce_empty, contigs[ci], num_seq_start + ci)
+            else:
                 futures[ci] = self.pool.submit(
                     self._produce_winner, contigs[ci], num_seq_start + ci,
-                    win_bin, nodes_maps[ci], (rows_s, rows_t, rows_o))
+                    cands, nodes_maps[ci])
+
+        for L in launches:
+            bests = np.asarray(L["dev"]).view(np.float32)
+            cands_by_contig = {}
+            for k, (ci, b, _g) in enumerate(L["work"]):
+                cands_by_contig.setdefault(ci, []).append(
+                    (b, float(bests[k])))
+            for ci in L["slots"]:
+                submit(ci, cands_by_contig.get(ci, []))
+
+        for ci, entries in mega_launches:
+            cands = []
+            for e in entries:
+                bests = np.asarray(e["dev"]).view(np.float32)
+                cands.extend(
+                    (b, float(bests[k])) for k, b in enumerate(e["rows"]))
+            submit(ci, cands)
 
         return [futures[ci].result() for ci in range(len(contigs))]

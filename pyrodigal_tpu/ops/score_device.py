@@ -102,6 +102,7 @@ class BinTables:
         self.lfac_min = jnp.asarray(lfac_min)
         self.lfac_max = jnp.asarray(lfac_max)
         self.any_nonsd = bool((uses_sd == 0).any())
+        self.uses_sd_np = uses_sd.copy()
         sd_ex, sd_mm = _sd_luts()
         self.sd_ex = jnp.asarray(sd_ex)
         self.sd_mm = jnp.asarray(sd_mm)
@@ -299,24 +300,43 @@ def _gat(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
 
 
-def _lookup64(T, codes):
+def _lookup64_flat(T, flat):
+    """One-chunk core of `_lookup64`: flat codes of shape (BT, K)."""
+    hi = flat >> 6
+    lo = flat & 63
+    Tr = T.reshape(T.shape[0], 64, 64)
+    oh_hi = jax.nn.one_hot(hi, 64, dtype=T.dtype)
+    rows = jnp.einsum("bkh,bhl->bkl", oh_hi, Tr,
+                      precision=jax.lax.Precision.HIGHEST)
+    oh_lo = jax.nn.one_hot(lo, 64, dtype=T.dtype)
+    return jnp.sum(rows * oh_lo, axis=2)
+
+
+def _lookup64(T, codes, chunk=262144):
     """Batched table lookup `T[b, codes[b, ...]]` for (BT, 4096) tables as
     two 64-way one-hot contractions (hi bits pick a row on the MXU, lo bits
     select within it).  General gathers execute near-scalar on TPU
     (~25 ns/element); the one-hot formulation runs at memory bandwidth and
     is exact (each one-hot row has a single 1, so the f32 contraction
-    reproduces the table value bit-for-bit)."""
+    reproduces the table value bit-for-bit).  Finiteness precondition:
+    every table entry must be finite — the contraction computes 0*x for
+    non-selected entries, so an inf/NaN sentinel anywhere in a table would
+    poison every lookup (BinTables holds only finite log-weights).
+
+    Code sets wider than `chunk` (Mbp-scale contigs) stream through
+    `lax.map` so the transient one-hot stays bounded."""
     BT = T.shape[0]
     shp = codes.shape
     flat = codes.reshape(BT, -1)
-    hi = flat >> 6
-    lo = flat & 63
-    Tr = T.reshape(BT, 64, 64)
-    oh_hi = jax.nn.one_hot(hi, 64, dtype=T.dtype)
-    rows = jnp.einsum("bkh,bhl->bkl", oh_hi, Tr,
-                      precision=jax.lax.Precision.HIGHEST)
-    oh_lo = jax.nn.one_hot(lo, 64, dtype=T.dtype)
-    return jnp.sum(rows * oh_lo, axis=2).reshape(shp)
+    K = flat.shape[1]
+    if K <= chunk:
+        return _lookup64_flat(T, flat).reshape(shp)
+    nc = -(-K // chunk)
+    KP = nc * chunk
+    flatp = jnp.pad(flat, ((0, 0), (0, KP - K)))
+    chunks = flatp.reshape(BT, nc, chunk).transpose(1, 0, 2)
+    out = jax.lax.map(lambda c: _lookup64_flat(T, c), chunks)
+    return out.transpose(1, 0, 2).reshape(BT, KP)[:, :K].reshape(shp)
 
 
 def _lookup64_shared(T, codes):
@@ -384,6 +404,54 @@ def _window_gather(a, start, L):
     return R[:, :, :L]
 
 
+def _window_gather_tiled(a, start, ok, L, node_tile=2048, SW=131072):
+    """`_window_gather` for Mbp-scale sequences: the (G, n, nblk) one-hot
+    of the plain formulation would scale with S, so the node axis is tiled
+    (nodes are sorted by position, so a tile of `node_tile` consecutive
+    nodes spans a bounded sequence range — the host geometry check
+    guarantees span + window <= `SW`).  Each tile dynamically slices its
+    local (SW + 384)-wide sequence segment and runs the same block
+    one-hot + masked-roll gather against it.
+
+    `ok` masks real nodes; rows with ok=False produce arbitrary in-range
+    garbage (callers mask downstream)."""
+    G, S = a.shape
+    _, n = start.shape
+    T = node_tile
+    assert n % T == 0 and SW % 128 == 0
+    nt = n // T
+    SWW = SW + 384
+    ap = jnp.pad(a.astype(F32), ((0, 0), (128, SWW)))
+    stt = start.reshape(G, nt, T).transpose(1, 0, 2)       # (nt, G, T)
+    okt = ok.reshape(G, nt, T).transpose(1, 0, 2)
+    base = jnp.min(jnp.where(okt, stt, 2 ** 30), axis=2)   # (nt, G)
+    base = jnp.clip(jnp.where(base == 2 ** 30, 0, base), -128, S)
+    nblk = SWW // 128 - 1
+
+    def tile_fn(xs):
+        st_t, b_t = xs                                     # (G, T), (G,)
+        # local segment: seg[k] = a[b + k]  (ap front-padded by 128)
+        seg = jax.vmap(
+            lambda row, b: jax.lax.dynamic_slice(row, (b + 128,), (SWW,))
+        )(ap, b_t)
+        l = jnp.clip(st_t - b_t[:, None], 0, SW - 1)
+        blocks = jnp.concatenate(
+            [seg[:, :nblk * 128].reshape(G, nblk, 128),
+             seg[:, 128:128 + nblk * 128].reshape(G, nblk, 128)], axis=2)
+        q = l >> 7
+        r = l & 127
+        oh = jax.nn.one_hot(q, nblk, dtype=F32)
+        R = jnp.einsum("gnq,gqc->gnc", oh, blocks,
+                       precision=jax.lax.Precision.HIGHEST)
+        for bit in (64, 32, 16, 8, 4, 2, 1):
+            R = jnp.where((r & bit)[..., None] != 0,
+                          jnp.roll(R, -bit, axis=2), R)
+        return R[:, :, :L]
+
+    out = jax.lax.map(tile_fn, (stt, base))                # (nt, G, T, L)
+    return out.transpose(1, 0, 2, 3).reshape(G, n, L)
+
+
 # motif-candidate slot constants (reference: lib.pyx:1556-1616 scan order:
 # motif length 6..3 = i 3..0, then 13 window positions ascending)
 def _motif_slots():
@@ -431,8 +499,30 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
 
     # m6r is zeroed beyond slen, so overflowing reverse-strand reads see
     # code 0 exactly like the clipped-index formulation they replace.
-    Wf = _window_gather(m6f, g_ndx - 48, 51).astype(jnp.int32)
-    Wr = _window_gather(m6r, g_ndx + 1, 48).astype(jnp.int32)
+    #
+    # Contigs with node-free gaps (giant N runs) ship a gap-compacted
+    # digit array + compact node coordinates for the WINDOW reads only —
+    # every candidate window lies within +-54 bp of its node, so
+    # collapsing node-free stretches preserves every window byte while
+    # bounding the per-node-tile sequence span (the dc prefix sums stay
+    # on the full sequence).
+    if "cdigits" in geo:
+        m6wf, m6wr = _derive_m6(
+            {"digits": geo["cdigits"], "slen": geo["c_slen"]})
+        w_ndx = geo["c_ndx"]
+    else:
+        m6wf, m6wr = m6f, m6r
+        w_ndx = g_ndx
+    S = m6wf.shape[1]
+    if S > 262144 or n > 16384:
+        g_ok = geo["n8"][5] != 0
+        Wf = _window_gather_tiled(m6wf, w_ndx - 48, g_ok, 51
+                                  ).astype(jnp.int32)
+        Wr = _window_gather_tiled(m6wr, w_ndx + 1, g_ok, 48
+                                  ).astype(jnp.int32)
+    else:
+        Wf = _window_gather(m6wf, w_ndx - 48, 51).astype(jnp.int32)
+        Wr = _window_gather(m6wr, w_ndx + 1, 48).astype(jnp.int32)
 
     # SD candidate masks over the 15 window positions: position p reads
     # the 6-mer at ndx-20+p (fwd; window lane 28+p) / ndx+20-p (rev;
@@ -527,11 +617,34 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     Cf = jnp.cumsum(dcf.reshape(BT, S3, 3), axis=1).reshape(BT, S)
     Cr = jnp.cumsum(dcr.reshape(BT, S3, 3), axis=1).reshape(BT, S)
 
-    def pref(C, j):
-        return jnp.where(j >= 0, _gat(C, jnp.clip(j, 0, S - 1)), 0.0)
+    if n > 16384:
+        # mega route: every row shares the single geometry, so the four
+        # prefix reads collapse to TWO row-gathers from one (S, 2*BT)
+        # table — Cf shifted down 3 rows beside Cr, so position p yields
+        # (Cf[p-3], Cr[p]); contiguous row DMA ~6x faster than
+        # per-element gathers.  The Cf side's first 3 rows are zeros,
+        # which is fine: every Cf[p-3] use is masked where p-3 < 0.
+        CfT = jnp.pad(Cf.T[:S - 3], ((3, 0), (0, 0)))
+        CT = jnp.concatenate([CfT, Cr.T], axis=1)         # (S, 2BT)
 
-    cs1_f = pref(Cf, stop_val - 3) - pref(Cf, ndx - 3)
-    cs1_r = pref(Cr, ndx) - pref(Cr, stop_val)
+        def duo(p):
+            """(Cf[p-3], Cr[p]) rows for identical-row positions p."""
+            j0 = jnp.clip(p[0], 0, S - 1)
+            v = jnp.take(CT, j0, axis=0)                  # (n, 2BT)
+            return v[:, :BT].T, v[:, BT:].T
+
+        f_ndx, r_ndx = duo(ndx)
+        f_sv, r_sv = duo(stop_val)
+        cs1_f = (jnp.where(stop_val - 3 >= 0, f_sv, 0.0)
+                 - jnp.where(ndx - 3 >= 0, f_ndx, 0.0))
+        cs1_r = (jnp.where(ndx >= 0, r_ndx, 0.0)
+                 - jnp.where(stop_val >= 0, r_sv, 0.0))
+    else:
+        def pref(C, j):
+            return jnp.where(j >= 0, _gat(C, jnp.clip(j, 0, S - 1)), 0.0)
+
+        cs1_f = pref(Cf, stop_val - 3) - pref(Cf, ndx - 3)
+        cs1_r = pref(Cr, ndx) - pref(Cr, stop_val)
     cscore = jnp.where(start, jnp.where(fwd, cs1_f, cs1_r), 0.0)
 
     # ---- pass 2: ascending-coding penalty (segmented running max) --------
@@ -801,31 +914,17 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
 
 def pack_winners(score, traceb, ov, best, slot_idx, W, NB, C):
-    """Per-contig winner selection + row gather, on device.
+    """Per-item best path scores, bitcast for one tiny pull.
 
-    `slot_idx` maps each work item to its contig slot in [0, C) (padded
-    items carry slot C, matching no slot).  For each slot the winning item
-    is the FIRST item attaining the max path score — item order within a
-    launch is bin order, so this reproduces the reference's sequential
-    `score > max_score` sweep (reference: lib.pyx:5363-5365).
-
-    Returns one (C, 3*NB + 2) int32 tensor per launch: the winner's score
-    row (f32 bits), traceback row, ov_mark row, then [win_item,
-    best_score_bits] — a single device->host transfer delivers every
-    contig's winner."""
-    Cr = jnp.arange(C)[:, None]
-    masked = jnp.where(slot_idx[None, :] == Cr, best[None, :],
-                       jnp.float32(-3e38))                  # (C, BT)
-    win_item = jnp.argmax(masked, axis=1).astype(jnp.int32)  # first max
-    win_best = jnp.max(masked, axis=1)
-    rows_s = jax.lax.bitcast_convert_type(
-        score[win_item, W:W + NB], jnp.int32)
-    rows_t = traceb[win_item, W:W + NB]
-    rows_o = ov[win_item, W:W + NB]
-    meta = jnp.stack(
-        [win_item, jax.lax.bitcast_convert_type(win_best, jnp.int32)],
-        axis=1)
-    return jnp.concatenate([rows_s, rows_t, rows_o, meta], axis=1)
+    The device sweep is the bin FILTER: the host picks each contig's
+    winning bin from these scores (first-max in bin order, reproducing
+    the reference's sequential `score > max_score` sweep,
+    lib.pyx:5363-5365) and re-runs the exact f64 C DP for that bin — so
+    emitted genes are byte-exact by construction.  Bins whose device
+    scores sit within the f32 drift margin of the winner are arbitrated
+    by the exact engine too (TpuMetaRunner._produce_winner)."""
+    del score, traceb, ov, slot_idx, W, NB, C
+    return jax.lax.bitcast_convert_type(best, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -835,13 +934,37 @@ def score_dp_launch_packed(tables, geo, bin_idx, gidx, slot_idx, *,
                            is_meta, closed, S3, has_nonsd, relk,
                            max_overlap, W, NP, BLK, MAX_CHUNKS, NB, C,
                            interpret=False):
-    """`score_dp_launch` + on-device winner selection: one launch, one
-    (C, 3*NB + 2) result tensor, one device->host pull."""
+    """`score_dp_launch` + per-item best-score packing: one launch, one
+    (BT,) bitcast result, one tiny device->host pull."""
     score, traceb, ov, best = score_dp_launch(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed, S3=S3,
         has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap, W=W,
         NP=NP, BLK=BLK, MAX_CHUNKS=MAX_CHUNKS, interpret=interpret)
     return pack_winners(score, traceb, ov, best, slot_idx, W, NB, C)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "is_meta", "closed", "S3", "has_nonsd", "relk", "max_overlap", "NB",
+    "interpret"))
+def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
+                         closed, S3, has_nonsd, relk, max_overlap, NB,
+                         interpret=False):
+    """One Mbp-scale contig, all candidate bins as rows: fused on-device
+    scoring + the node-axis-gridded mega DP kernel + winner packing.
+
+    geo holds ONE geometry (G=1); bin_idx has BT rows (bins, padded);
+    slot_idx is 0 for real bins / 1 for padding.  Returns the (BT,)
+    bitcast best-score vector (padded rows yield garbage scores the
+    caller ignores)."""
+    (ndx, stop_val, typ, strand, win_lo, valid,
+     cscore, ssc, rsc, usc, star_ptr, stw) = _score_items(
+        tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
+        S3=S3, has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap)
+    score, traceb, ov, best = dp_pallas._dp_core_mega(
+        ndx, stop_val, typ, strand, win_lo, valid,
+        cscore + ssc, rsc, usc, star_ptr, stw,
+        NB, interpret, star_span=relk + 4)
+    return pack_winners(score, traceb, ov, best, slot_idx, 0, NB, 1)
 
 
 @functools.partial(jax.jit, static_argnames=(

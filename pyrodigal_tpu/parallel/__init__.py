@@ -15,6 +15,7 @@ from .mesh import (
     make_mesh,
     hexamer_background_counts,
     distributed_training_step,
+    distributed_training_tallies,
     sharded_dp,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "make_mesh",
     "hexamer_background_counts",
     "distributed_training_step",
+    "distributed_training_tallies",
     "sharded_dp",
 ]

@@ -15,11 +15,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # The host environment registers an experimental TPU PJRT plugin ("axon")
 # through sitecustomize; its initialization can block when the device tunnel
 # is busy.  Tests run on the CPU backend, so deregister the plugin factory
-# before any backend is initialized.
+# before any backend is initialized.  NOTE: with the plugin registered,
+# XLA_FLAGS --xla_force_host_platform_device_count is ignored — the
+# jax_num_cpu_devices config is the reliable way to get a virtual mesh.
 try:  # pragma: no cover - depends on host environment
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass
 

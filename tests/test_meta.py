@@ -112,3 +112,56 @@ def test_tpu_meta_runner_closed_mask(data, closed, mask):
     assert [(g.begin, g.end, g.strand) for g in b] == \
         [(g.begin, g.end, g.strand) for g in a]
     assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+@needs_bins
+def test_mega_route_matches_c_path(data):
+    """Contigs exceeding the std buckets route through the node-axis-
+    gridded mega kernel (scratch-carried window state) and must reproduce
+    the sequential C meta path exactly.  seq_bucket is shrunk to force the
+    mega route on a 30 kb contig."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:30000]
+    p = GeneFinder(meta=True, backend="refcore")
+    a = p.find_genes(seq)
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, seq_bucket=2048,
+                           interpret=True)
+    b = runner.find_genes_batch([seq])[0]
+    assert b.metagenomic_bin.description == a.metagenomic_bin.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+def test_single_device_matches_c_path(data):
+    """Device-native single mode (one-bin fused scoring+DP, is_meta=False)
+    must reproduce the exact C single path on the golden genome."""
+    pytest.importorskip("jax")
+    import warnings
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    rec = list(parse(data("SRR492066.fna.gz")))[0]
+    p = GeneFinder(backend="refcore")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p.train(rec.seq)
+    a = p.find_genes(rec.seq)
+
+    class _Bin:
+        description = "single"
+
+        def __init__(self, ti):
+            self.training_info = ti
+
+    runner = TpuMetaRunner([_Bin(p.training_info)], is_meta=False,
+                           node_bucket=6144, seq_bucket=81920,
+                           batch_size=8, interpret=True)
+    b = runner.find_genes_batch([rec.seq])[0]
+    assert len(a) == len(b) == 76
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+    assert b.metagenomic_bin is None and b.meta is False
