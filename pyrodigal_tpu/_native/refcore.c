@@ -1093,10 +1093,11 @@ static void conn_backward_stop(nodes_t *nd, int n1, int n2,
 int rc_dp_finish(nodes_t *nd);
 
 int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
-    int i, j, min, kind, path, nxt, tmp;
+    int i, j, min, kind, f2, kj, fj;
     int nn = nd->nn;
-    int max_ndx = -1;
-    double max_sc = -1.0;
+    uint16_t tab[4][3];
+    uint16_t m;
+    uint8_t *key;
 
     if (nn == 0) return -1;
 
@@ -1104,6 +1105,38 @@ int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
         nd->score[i] = 0;
         nd->traceb[i] = -1;
         nd->tracef[i] = -1;
+    }
+
+    /* Pre-filter (role of the reference's SIMD skippable kernels,
+     * impl/template.h): fold each node's (kind, frame) into a 4-bit key
+     * once, and the 6 invalidity rules for a target (kind_i, frame_i)
+     * into a 16-bit mask — the inner loop tests one bit per candidate
+     * instead of re-evaluating the rule chain. */
+    key = (uint8_t *)malloc((size_t)nn);
+    if (!key) return -1;
+    for (i = 0; i < nn; i++)
+        key[i] = (uint8_t)((2 * (nd->strand[i] != 1)
+                            + (nd->type[i] == TSTOP)) * 4
+                           + nd->ndx[i] % 3);
+    for (kind = 0; kind < 4; kind++) {
+        int t2s = kind & 1, s2f = kind < 2;
+        for (f2 = 0; f2 < 3; f2++) {
+            m = 0;
+            for (kj = 0; kj < 4; kj++) {
+                int t1s = kj & 1, s1f = kj < 2;
+                for (fj = 0; fj < 3; fj++) {
+                    int skip =
+                        (!t1s && !t2s && s1f == s2f)
+                        || (s1f && !t1s && !s2f)
+                        || (!s1f && t1s && s2f)
+                        || (!s1f && !t1s && s2f && t2s)
+                        || (s1f == s2f && s1f && !t1s && t2s && fj != f2)
+                        || (s1f == s2f && !s1f && t1s && !t2s && fj != f2);
+                    if (skip) m |= (uint16_t)(1u << (kj * 4 + fj));
+                }
+            }
+            tab[kind][f2] = m;
+        }
     }
 
     for (i = 0; i < nn; i++) {
@@ -1117,31 +1150,33 @@ int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
         }
         min = (min < MAX_NODE_DIST) ? 0 : min - MAX_NODE_DIST;
 
-        kind = 2 * (nd->strand[i] != 1) + (nd->type[i] == TSTOP);
+        kind = key[i] >> 2;
+        m = tab[kind][key[i] & 3];
         switch (kind) {
             case 0:
                 for (j = min; j < i; j++)
-                    if (!skip_connection(nd, j, i))
+                    if (!((m >> key[j]) & 1))
                         conn_forward_start(nd, j, i, tinf, final);
                 break;
             case 1:
                 for (j = min; j < i; j++)
-                    if (!skip_connection(nd, j, i))
+                    if (!((m >> key[j]) & 1))
                         conn_forward_stop(nd, j, i, tinf, final);
                 break;
             case 2:
                 for (j = min; j < i; j++)
-                    if (!skip_connection(nd, j, i))
+                    if (!((m >> key[j]) & 1))
                         conn_backward_start(nd, j, i, tinf, final);
                 break;
             default:
                 for (j = min; j < i; j++)
-                    if (!skip_connection(nd, j, i))
+                    if (!((m >> key[j]) & 1))
                         conn_backward_stop(nd, j, i, tinf, final);
                 break;
         }
     }
 
+    free(key);
     return rc_dp_finish(nd);
 }
 
