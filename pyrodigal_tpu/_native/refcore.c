@@ -16,6 +16,12 @@
  * finishing path; the product compute path is the JAX/Pallas pipeline in
  * pyrodigal_tpu/ops/.
  *
+ * Re-entrancy invariant: the scoring / DP / finishing entry points run
+ * CONCURRENTLY on the runner's thread pool (each call on its own nodes_t
+ * buffers), so they must stay free of mutable global state.  The only
+ * statics are immutable lookup tables initialised before threads exist
+ * (tests/test_meta.py::test_runner_thread_reentrancy exercises this).
+ *
  * Build: gcc -O2 -fPIC -shared refcore.c -o librefcore.so -lm
  */
 
@@ -1524,7 +1530,7 @@ void rc_calc_dicodon_gene(training_t *tinf, const uint8_t *d, int slen,
                           nodes_t *nd, int ipath) {
     int i, in_gene = 0, path = ipath, left = -1, right = -1;
     int64_t glob;
-    static int counts[4096];
+    int counts[4096];
     double prob, bg[4096];
 
     glob = 0;
@@ -1902,10 +1908,15 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
     int nn = nd->nn;
     int i;
 
-    /* large tables on the heap */
-    static int mgood[4][4][4096];
-    static double mbg[4][4][4096];
-    static double mreal[4][4][4096];
+    /* large tables on the heap (per call: training may be invoked from
+     * multiple threads; no mutable statics — see re-entrancy invariant) */
+    int (*mgood)[4][4096] = malloc(sizeof(int[4][4][4096]));
+    double (*mbg)[4][4096] = malloc(sizeof(double[4][4][4096]));
+    double (*mreal)[4][4096] = malloc(sizeof(double[4][4][4096]));
+    if (!mgood || !mbg || !mreal) {
+        free(mgood); free(mbg); free(mreal);
+        return;
+    }
 
     for (i = 0; i < 32; i++)
         for (j = 0; j < 4; j++) tinf->ups_comp[i][j] = 0.0;
@@ -1923,7 +1934,7 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
         stage = (i < 4) ? 0 : (i < 12) ? 1 : 2;
 
         /* motif background */
-        memset(mbg, 0, sizeof(mbg));
+        memset(mbg, 0, sizeof(double[4][4][4096]));
         zbg = 0.0;
         for (j = 0; j < nn; j++) {
             if (nd->type[j] == TSTOP || nd->edge[j]) continue;
@@ -1940,7 +1951,7 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
                 for (l = 0; l < 4096; l++) mbg[j][k][l] /= sum;
         zbg /= sum;
 
-        memset(mreal, 0, sizeof(mreal));
+        memset(mreal, 0, sizeof(double[4][4][4096]));
         zreal = 0.0;
         for (j = 0; j < 3; j++) treal[j] = 0.0;
         ngenes = 0.0;
@@ -2049,6 +2060,9 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
     }
 
     ups_comp_to_log(tinf);
+    free(mgood);
+    free(mbg);
+    free(mreal);
 }
 
 /* ==========================================================================

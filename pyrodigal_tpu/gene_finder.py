@@ -22,7 +22,17 @@ from . import _native
 
 
 class GeneFinder:
-    """A configurable gene finder for genomes and metagenomes."""
+    """A configurable gene finder for genomes and metagenomes.
+
+    Example:
+        >>> from pyrodigal_tpu import GeneFinder
+        >>> finder = GeneFinder(meta=True, backend="refcore")
+        >>> genes = finder.find_genes("TTAATTAATTAA" * 4)   # too short
+        >>> len(genes)
+        0
+        >>> GeneFinder(min_gene=60, backend="refcore")
+        pyrodigal_tpu.gene_finder.GeneFinder(min_gene=60)
+    """
 
     def __init__(
         self,

@@ -34,7 +34,15 @@ class Mask:
         return NotImplemented
 
     def intersects(self, begin, end):
-        """(reference: lib.pyx:336-341)"""
+        """(reference: lib.pyx:336-341)
+
+        Example:
+            >>> from pyrodigal_tpu import Mask
+            >>> Mask(5, 10).intersects(8, 20)
+            True
+            >>> Mask(5, 10).intersects(10, 20)   # end-exclusive
+            False
+        """
         return self.begin < end and begin < self.end
 
 
@@ -97,7 +105,18 @@ def _find_masks(digits, mask_size):
 
 
 class Sequence:
-    """A digitized input sequence (reference: lib.pyx:514-722)."""
+    """A digitized input sequence (reference: lib.pyx:514-722).
+
+    Example:
+        >>> from pyrodigal_tpu import Sequence
+        >>> seq = Sequence("ACGTNacgt")
+        >>> str(seq)
+        'ACGTNACGT'
+        >>> len(seq)
+        9
+        >>> round(seq.gc, 4)
+        0.4444
+    """
 
     def __init__(self, sequence, mask=False, mask_size=MASK_SIZE):
         if isinstance(sequence, Sequence):

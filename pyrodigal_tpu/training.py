@@ -26,7 +26,24 @@ _OFF_GENE_DC = 525624
 
 
 class TrainingInfo:
-    """A collection of parameters obtained after training."""
+    """A collection of parameters obtained after training.
+
+    The binary codec is bit-compatible with Prodigal's ``-t`` training
+    files (a raw 558,392-byte `_training` struct; reference:
+    lib.pyx:3910-3953).
+
+    Example:
+        >>> from pyrodigal_tpu import TrainingInfo
+        >>> tinf = TrainingInfo(0.42)
+        >>> tinf.gc
+        0.42
+        >>> tinf.translation_table
+        11
+        >>> tinf.start_weight
+        4.35
+        >>> sorted(tinf.to_dict())[:3]
+        ['bias', 'coding_statistics', 'gc']
+    """
 
     def __init__(
         self,

@@ -165,3 +165,83 @@ def test_single_device_matches_c_path(data):
         [(g.begin, g.end, g.strand) for g in a]
     assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
     assert b.metagenomic_bin is None and b.meta is False
+
+
+@needs_bins
+@pytest.mark.parametrize("kw", [
+    dict(min_gene=60, min_edge_gene=30, max_overlap=30),
+    dict(min_gene=120, max_overlap=40),
+    dict(max_overlap=0),
+])
+def test_tpu_meta_runner_option_variants(data, kw):
+    """min_gene / min_edge_gene / max_overlap variants must flow through
+    the batched device path identically to the C engine (mirror of the
+    C-path variants in test_gene_finder)."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:24000]
+    p = GeneFinder(meta=True, backend="refcore", **kw)
+    a = p.find_genes(seq)
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
+                           batch_size=8, interpret=True, **kw)
+    b = runner.find_genes_batch([seq])[0]
+    assert b.metagenomic_bin.description == a.metagenomic_bin.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+@needs_bins
+def test_bin_near_tie_exact_arbitration(data):
+    """Two bins with IDENTICAL models produce exactly tied path scores;
+    the device sweep's f32 scores cannot order them, so the exact C
+    engine must arbitrate — and the reference's `>` sweep keeps the
+    EARLIER bin on ties (lib.pyx:5363-5365)."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:20000]
+    p0 = GeneFinder(meta=True, backend="refcore")
+    full = p0.find_genes(seq)
+    chosen = full.metagenomic_bin
+
+    class _Clone:
+        description = "clone-of-winner"
+
+        def __init__(self, ti):
+            self.training_info = ti
+
+    bins = MetagenomicBins((chosen, _Clone(chosen.training_info)))
+    runner = TpuMetaRunner(bins, node_bucket=1536, batch_size=8,
+                           interpret=True)
+    b = runner.find_genes_batch([seq])[0]
+    # earlier bin must win the exact tie
+    assert b.metagenomic_bin.description == chosen.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in full]
+
+
+@needs_bins
+def test_runner_thread_reentrancy(data):
+    """Concurrent find_genes_batch calls share the runner (thread pool +
+    refcore entry points must be state-free) and must be deterministic."""
+    pytest.importorskip("jax")
+    import concurrent.futures
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seqs = [list(parse(data("SRR492066.fna.gz")))[0].seq[:15000],
+            list(parse(data("KK037166.fna.gz")))[0].seq]
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
+                           batch_size=8, interpret=True)
+    ref = runner.find_genes_batch(seqs)
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(lambda _: runner.find_genes_batch(seqs),
+                           range(4)))
+    for out in outs:
+        for a, b in zip(ref, out):
+            assert [(g.begin, g.end, g.strand) for g in a] == \
+                [(g.begin, g.end, g.strand) for g in b]
+            assert all(x._gene_data(1) == y._gene_data(1)
+                       for x, y in zip(a, b))
