@@ -143,6 +143,9 @@ _lib.rc_tweak_final_starts.argtypes = [
     ctypes.c_void_p, ctypes.c_int]
 _lib.rc_calc_dicodon_gene.argtypes = [
     ctypes.c_void_p, c_u8p, ctypes.c_int, _NP, ctypes.c_int]
+_lib.rc_calc_dicodon_gene_bg.argtypes = [
+    ctypes.c_void_p, c_u8p, ctypes.c_int, _NP, ctypes.c_int,
+    ctypes.POINTER(ctypes.c_int64)]
 _lib.rc_train_starts_sd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_train_starts_nonsd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_determine_sd_usage.argtypes = [ctypes.c_void_p]
@@ -177,3 +180,7 @@ def i32(arr):
 
 def f64(arr):
     return _ptr(arr, ctypes.c_double)
+
+
+def i64(arr):
+    return _ptr(arr, ctypes.c_int64)

@@ -1526,6 +1526,64 @@ void rc_record_gc_bias(const int8_t *gp, int slen, nodes_t *nd, training_t *tinf
 }
 
 /* ---- dicodon statistics (reference: lib.pyx:4284-4358) ------------------ */
+/* Variant taking PRECOMPUTED background hexamer counts — the distributed
+ * trainer psum-merges these over a device mesh (parallel/train.py); the
+ * counts are bit-identical to the scalar scan below, so the resulting
+ * gene_dc is too. */
+void rc_calc_dicodon_gene_bg(training_t *tinf, const uint8_t *d, int slen,
+                             nodes_t *nd, int ipath,
+                             const int64_t *bg_counts) {
+    int i, in_gene = 0, path = ipath, left = -1, right = -1;
+    int64_t glob;
+    int counts[4096];
+    double prob, bg[4096];
+
+    glob = 0;
+    for (i = 0; i < 4096; i++) glob += bg_counts[i];
+    for (i = 0; i < 4096; i++)
+        bg[i] = ((double)bg_counts[i]) / ((double)glob);
+
+    glob = 0;
+    memset(counts, 0, sizeof(counts));
+    while (path != -1) {
+        if (nd->strand[path] == 1) {
+            if (nd->type[path] == TSTOP) {
+                in_gene = 1;
+                right = nd->ndx[path] + 2;
+            } else if (in_gene == 1) {
+                left = nd->ndx[path];
+                for (i = left; i < right - 5; i += 3) {
+                    counts[mer_ndx(d, slen, i, 6, 1)] += 1;
+                    glob += 1;
+                }
+                in_gene = 0;
+            }
+        } else {
+            if (nd->type[path] != TSTOP) {
+                in_gene = -1;
+                left = slen - nd->ndx[path] - 1;
+            } else if (in_gene == -1) {
+                right = slen - nd->ndx[path] + 1;
+                for (i = left; i < right - 5; i += 3) {
+                    counts[mer_ndx(d, slen, i, 6, -1)] += 1;
+                    glob += 1;
+                }
+                in_gene = 0;
+            }
+        }
+        path = nd->traceb[path];
+    }
+
+    for (i = 0; i < 4096; i++) {
+        prob = ((double)counts[i]) / ((double)glob);
+        if (prob == 0 && bg[i] != 0) tinf->gene_dc[i] = -5.0;
+        else if (bg[i] == 0) tinf->gene_dc[i] = 0.0;
+        else tinf->gene_dc[i] = log(prob / bg[i]);
+        if (tinf->gene_dc[i] > 5.0) tinf->gene_dc[i] = 5.0;
+        else if (tinf->gene_dc[i] < -5.0) tinf->gene_dc[i] = -5.0;
+    }
+}
+
 void rc_calc_dicodon_gene(training_t *tinf, const uint8_t *d, int slen,
                           nodes_t *nd, int ipath) {
     int i, in_gene = 0, path = ipath, left = -1, right = -1;

@@ -223,46 +223,15 @@ class GeneFinder:
             )
         return tinf
 
-    def _dp(self, nodes, tinf):
-        """Dispatch the final-mode DP to the configured backend."""
-        if self._resolve_backend() == "jax" and nodes.length > 0:
-            import ctypes
-            import numpy as np
-            import jax.numpy as jnp
-            from .ops import dp_jax
-
-            n = nodes.length
-            ndx = nodes.ndx[:n].astype(np.int32)
-            sv = nodes.stop_val[:n].astype(np.int32)
-            typ = nodes.type[:n].astype(np.int32)
-            strand = nodes.strand[:n].astype(np.int32)
-            win_lo = dp_jax.window_starts(ndx, sv, typ, strand)
-            ext = int((np.arange(n) - win_lo).max()) if n else 1
-            W = max(256, int(np.ceil(ext / 256) * 256))
-            cs = (nodes.cscore[:n] + nodes.sscore[:n]).astype(np.float32)
-            score, traceb, ov = dp_jax.dp_scores(
-                jnp.asarray(ndx), jnp.asarray(sv), jnp.asarray(typ),
-                jnp.asarray(strand), jnp.asarray(cs),
-                jnp.asarray(nodes.rscore[:n].astype(np.float32)),
-                jnp.asarray(nodes.uscore[:n].astype(np.float32)),
-                jnp.asarray(nodes.star_ptr[:n * 3].reshape(n, 3).astype(np.int32)),
-                jnp.asarray(win_lo), jnp.ones(n, bool),
-                jnp.float32(tinf.start_weight), W=W,
-            )
-            nodes.score[:n] = np.asarray(score, dtype=np.float64)
-            nodes.traceb[:n] = np.asarray(traceb)
-            nodes.ov_mark[:n] = np.asarray(ov)
-            s = nodes._struct()
-            return _native.lib.rc_dp_finish(ctypes.byref(s))
-        return nodes.dynamic_programming(tinf, final=True)
-
     def _find_genes_single(self, seq, tinf, nodes, genes):
-        """(reference: lib.pyx:5281-5315)"""
+        """(reference: lib.pyx:5281-5315).  Runs on the exact C engine:
+        a jax-capable host routes single mode through the fused device
+        pipeline in `find_genes` before reaching here."""
         self._extract_sorted(nodes, seq, tinf.translation_table)
         nodes.reset_scores()
         nodes.score_nodes(seq, tinf, closed=self.closed, is_meta=False)
         nodes.record_overlapping_starts(tinf, 1, self.max_overlap)
-        ipath = self._dp(nodes, tinf)
+        ipath = nodes.dynamic_programming(tinf, final=True)
         if nodes.length > 0:
             nodes.eliminate_bad_genes(ipath, tinf)
         genes._extract(nodes, ipath)

@@ -18,6 +18,7 @@ from .mesh import (
     distributed_training_tallies,
     sharded_dp,
 )
+from .train import train_distributed, sharded_background_counts
 
 __all__ = [
     "make_mesh",
@@ -25,4 +26,6 @@ __all__ = [
     "distributed_training_step",
     "distributed_training_tallies",
     "sharded_dp",
+    "train_distributed",
+    "sharded_background_counts",
 ]

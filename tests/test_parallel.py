@@ -136,3 +136,27 @@ def test_sharded_meta_runner_matches_c_path(data):
         assert [(g.begin, g.end, g.strand) for g in b] == \
             [(g.begin, g.end, g.strand) for g in a]
         assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+def test_train_distributed_bit_equal(data):
+    """`train_distributed` shards the O(bp) background-statistics scan
+    over the mesh; its psum-merged counts are bit-identical to the host
+    scan, so the final TrainingInfo must equal `GeneFinder.train`
+    byte-for-byte."""
+    import warnings
+
+    import numpy as np
+
+    from pyrodigal_tpu import GeneFinder
+    from pyrodigal_tpu.fasta import parse
+    from pyrodigal_tpu.parallel import make_mesh, train_distributed
+
+    rec = list(parse(data("SRR492066.fna.gz")))[0]
+    p = GeneFinder(backend="refcore")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = p.train(rec.seq)
+
+    mesh = make_mesh()
+    tinf = train_distributed(mesh, rec.seq)
+    assert bytes(tinf.raw) == bytes(ref.raw)
