@@ -247,24 +247,19 @@ class TpuMetaRunner:
 
     # -- finishing (host, exact C on the winning bin) -------------------------
 
-    def _finish(self, genes, seq, bin_id, nodes, ipath, nodes_by_tt):
+    def _finish(self, genes, seq, bin_id, nodes, ipath, out_nodes):
         tinf = self.bins[bin_id].training_info
         if nodes.length > 0:
             nodes.eliminate_bad_genes(ipath, tinf)
         genes._extract(nodes, ipath)
         genes._tweak_final_starts(nodes, tinf, self.max_overlap)
-        if self.is_meta:
-            # the reference re-extracts + rescores the nodes for the
-            # winning bin after the sweep, so the written per-gene scores
-            # are the fresh model scores WITHOUT the eliminate/tweak
-            # adjustments (lib.pyx:5380-5394); single mode keeps the
-            # adjusted nodes (lib.pyx:5281-5315)
-            out = nodes_by_tt[tinf.translation_table].copy()
-            out.reset_scores()
-            out.score_nodes(seq, tinf, closed=self.closed, is_meta=True)
-            genes.nodes = out
-        else:
-            genes.nodes = nodes
+        # meta: the reference re-extracts + rescores the nodes for the
+        # winning bin after the sweep, so the written per-gene scores are
+        # the fresh model scores WITHOUT the eliminate/tweak adjustments
+        # (lib.pyx:5380-5394) — `out_nodes` is the pre-DP scored snapshot,
+        # identical to that rescore.  Single mode keeps the adjusted nodes
+        # (lib.pyx:5281-5315).
+        genes.nodes = out_nodes if self.is_meta else nodes
         genes.metagenomic_bin = self.bins[bin_id] if self.is_meta \
             else None
         genes.training_info = tinf
@@ -335,18 +330,19 @@ class TpuMetaRunner:
         for b in close:                     # ascending bin order, like the
             tinf = self.bins[b].training_info   # reference's > sweep
             nodes = self._score_winner(seq, nodes_by_tt, b)
+            # pre-DP scored snapshot == the reference's post-sweep rescore
+            out_nodes = nodes.copy() if self.is_meta else None
             ipath = nodes.dynamic_programming(tinf, final=True)
             if nodes.length > 0 and ipath >= 0 \
                     and nodes.score[ipath] > max_score:
                 max_score = nodes.score[ipath]
-                chosen = (b, nodes, ipath)
+                chosen = (b, nodes, ipath, out_nodes)
         if chosen is None:
             genes.nodes = Nodes()
             genes.metagenomic_bin = None
             genes.training_info = None
             return genes
-        return self._finish(genes, seq, chosen[0], chosen[1], chosen[2],
-                            nodes_by_tt)
+        return self._finish(genes, seq, *chosen)
 
     def _produce_empty(self, seq, num_seq):
         genes = Genes()

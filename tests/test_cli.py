@@ -110,6 +110,29 @@ def test_meta_mode_jax_backend_byte_equal(data):
     assert strip(out_j) == strip(out_c)
 
 
+@needs_bins
+def test_meta_mode_jax_all_writers_byte_equal(data, tmp_path):
+    """Every output writer (-d nucleotides, -a translations, -s scores,
+    -f gbk) must be byte-identical between the device pipeline and the
+    exact C engine."""
+    pytest.importorskip("jax")
+    path = data("SRR492066.fna.gz")
+    outs = {}
+    for backend in ("refcore", "jax"):
+        d = tmp_path / backend
+        d.mkdir()
+        rc, out, err = _run([
+            "-i", path, "-p", "meta", "--backend", backend,
+            "-f", "gbk",
+            "-d", str(d / "n.fna"), "-a", str(d / "p.faa"),
+            "-s", str(d / "sc.tsv")])
+        assert rc == 0, err
+        outs[backend] = (out, (d / "n.fna").read_text(),
+                         (d / "p.faa").read_text(),
+                         (d / "sc.tsv").read_text())
+    assert outs["jax"] == outs["refcore"]
+
+
 def test_gzip_stdin_like_input(data, tmp_path):
     # plain-text input file (zopen sniffing passthrough)
     src = data("SRR492066.fna.gz")
