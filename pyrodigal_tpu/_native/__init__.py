@@ -130,6 +130,7 @@ _lib.rc_score_nodes.argtypes = [
 _lib.rc_record_overlapping_starts.argtypes = [
     _NP, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
 _lib.rc_record_gc_bias.argtypes = [c_i8p, ctypes.c_int, _NP, ctypes.c_void_p]
+_lib.rc_gc_bias_counts.argtypes = [c_i8p, ctypes.c_int, _NP, c_f64p, c_i32p]
 _lib.rc_dynamic_programming.argtypes = [_NP, ctypes.c_void_p, ctypes.c_int]
 _lib.rc_dynamic_programming.restype = ctypes.c_int
 _lib.rc_dp_finish.argtypes = [_NP]

@@ -1475,6 +1475,44 @@ double rc_calculate_confidence(double score, double start_weight) {
  * dominant-frame codon counts over all start nodes, scaled to sum to 3.
  * Validated against the reference oracle values
  * (test_gene_finder.py:337-345 and the golden training files). */
+/* Debug/fitting export: the per-start-node relative-frame winner counts
+ * exactly as rc_record_gc_bias computes them (cnt[3] + max_frame winner),
+ * so aggregation hypotheses can be fitted against the oracle bias without
+ * re-deriving the geometry (scripts/fit_gc_bias*.py). */
+void rc_gc_bias_counts(const int8_t *gp, int slen, nodes_t *nd,
+                       double *out_cnt, int32_t *out_mfr) {
+    int i, j, k, lo, hi, fr;
+    double cnt[3];
+    for (i = 0; i < nd->nn; i++) {
+        out_mfr[i] = -1;
+        out_cnt[i * 3] = out_cnt[i * 3 + 1] = out_cnt[i * 3 + 2] = 0.0;
+        if (nd->type[i] == TSTOP) continue;
+        cnt[0] = cnt[1] = cnt[2] = 0.0;
+        fr = nd->ndx[i] % 3;
+        if (nd->strand[i] == 1) {
+            lo = nd->ndx[i];
+            hi = nd->stop_val[i] + 1;
+            if (lo < 0) lo = 0;
+            if (hi > slen) hi = slen;
+            for (j = lo; j < hi; j++) {
+                k = gp[j];
+                if (k >= 0) cnt[(k - fr + 3) % 3] += 1.0;
+            }
+        } else {
+            lo = nd->stop_val[i];
+            hi = nd->ndx[i] + 1;
+            if (lo < 0) lo = 0;
+            if (hi > slen) hi = slen;
+            for (j = lo; j < hi; j++) {
+                k = gp[j];
+                if (k >= 0) cnt[(fr - k + 3) % 3] += 1.0;
+            }
+        }
+        for (j = 0; j < 3; j++) out_cnt[i * 3 + j] = cnt[j];
+        out_mfr[i] = max_frame((int)cnt[0], (int)cnt[1], (int)cnt[2]);
+    }
+}
+
 void rc_record_gc_bias(const int8_t *gp, int slen, nodes_t *nd, training_t *tinf) {
     int i, j, k, lo, hi, fr, mfr;
     double cnt[3], len, tot;

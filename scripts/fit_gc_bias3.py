@@ -163,3 +163,17 @@ def run():
 
 if __name__ == "__main__":
     run()
+
+# ---------------------------------------------------------------------------
+# Round-3 findings (fit continued via /tmp harnesses + rc_gc_bias_counts):
+# * the per-node counts used by refcore's reconstruction were exported
+#   bit-exactly (rc_gc_bias_counts) and the aggregation space re-scanned:
+#   node subsets (all/dedup-first/dedup-last/non-edge/ATG/fwd), weights
+#   (winner-mass, 1, length, winner-fraction), geometry offsets
+#   (flo/fhi/rlo/rhi in [-1,1], both rev mappings, frame rotations), with
+#   Prodigal max_fr tie semantics.  Best remains winner-mass/all-starts
+#   geometry variants at ~1e-4..2e-3 across the three oracles; no
+#   configuration approaches machine precision on all three.
+# * the max-GC frame plot itself was audited line-by-line against
+#   lib.pyx:724-768 (present in the snapshot) — it is faithful, so the
+#   residual lives in the (vendored, absent) tally formula alone.
