@@ -156,6 +156,15 @@ def srr_single(data):
     ("gbk", "write_genbank"),
 ])
 def test_writer_snapshot(data, srr_single, kind, writer_name):
+    """Byte-snapshots of the writers.
+
+    CAVEAT: these snapshots were generated by THIS repo's engine (the
+    reference's own .gff/.tsv goldens are meta-mode and blocked on the
+    absent upstream bin weights), so they lock format DRIFT but could
+    not have detected a format bug present at snapshot time.  The
+    column grammar below and the single-mode .fna/.faa goldens (which
+    ARE Prodigal-generated, test_gene_finder.py) cover that gap.
+    """
     seq_id, genes = srr_single
     out = io.StringIO()
     kwargs = {}
@@ -166,3 +175,34 @@ def test_writer_snapshot(data, srr_single, kind, writer_name):
     getattr(genes, writer_name)(out, seq_id, **kwargs)
     with gzip.open(data(f"SRR492066.single.refcore.{kind}.gz"), "rt") as f:
         assert out.getvalue() == f.read()
+
+
+def test_gff_column_grammar_vs_reference_golden(data, srr_single):
+    """Structural grammar of our GFF against the reference's own
+    Prodigal-generated meta-mode golden (SRR492066.meta.gff): same
+    column count, same attribute-key sequence, same header-key grammar —
+    format rules checkable without the upstream bin weights
+    (reference writer: lib.pyx:3529-3645)."""
+    seq_id, genes = srr_single
+    out = io.StringIO()
+    genes.write_gff(out, seq_id)
+    ours = [ln for ln in out.getvalue().splitlines()
+            if ln and not ln.startswith("#")]
+    with open(data("SRR492066.meta.gff")) as f:
+        golden = [ln for ln in f.read().splitlines()
+                  if ln and not ln.startswith("#")]
+
+    def shape(ln):
+        cols = ln.split("\t")
+        attrs = [kv.split("=")[0] for kv in cols[8].split(";") if kv]
+        return len(cols), attrs
+
+    assert shape(ours[0])[0] == shape(golden[0])[0] == 9
+    assert shape(ours[0])[1] == shape(golden[0])[1]
+    # header grammar: "# Sequence Data: k=v;..." / "# Model Data: k=v;..."
+    heads = [ln.split(":")[0] for ln in out.getvalue().splitlines()
+             if ln.startswith("# ")]
+    with open(data("SRR492066.meta.gff")) as f:
+        gheads = [ln.split(":")[0] for ln in f.read().splitlines()
+                  if ln.startswith("# ")]
+    assert heads == gheads
