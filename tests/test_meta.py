@@ -245,3 +245,26 @@ def test_runner_thread_reentrancy(data):
                 [(g.begin, g.end, g.strand) for g in b]
             assert all(x._gene_data(1) == y._gene_data(1)
                        for x, y in zip(a, b))
+
+
+@needs_bins
+@pytest.mark.parametrize("closed,mask", [(True, False), (False, True)])
+def test_mega_route_closed_mask(data, closed, mask):
+    """closed=True / mask=True must flow through the mega kernel route
+    identically to the C engine."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:24000]
+    if mask:
+        seq = seq[:9000] + "N" * 120 + seq[9000:]
+    p = GeneFinder(meta=True, closed=closed, mask=mask, backend="refcore")
+    a = p.find_genes(seq)
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, seq_bucket=2048,
+                           closed=closed, mask=mask, interpret=True)
+    b = runner.find_genes_batch([seq])[0]
+    assert b.metagenomic_bin.description == a.metagenomic_bin.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
