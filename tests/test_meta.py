@@ -268,3 +268,35 @@ def test_mega_route_closed_mask(data, closed, mask):
     assert [(g.begin, g.end, g.strand) for g in b] == \
         [(g.begin, g.end, g.strand) for g in a]
     assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+@needs_bins
+def test_many_tiny_contigs_batch(data):
+    """A batch of many tiny/odd contigs (empty, all-N, short, normal)
+    must keep launch packing, slot mapping and num_seq ordering straight."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    base = list(parse(data("SRR492066.fna.gz")))[0].seq
+    seqs = []
+    for k in range(40):
+        if k % 7 == 0:
+            seqs.append("")                        # empty
+        elif k % 7 == 1:
+            seqs.append("N" * 500)                 # all-N
+        elif k % 7 == 2:
+            seqs.append(base[:90])                 # sub-min-gene
+        else:
+            seqs.append(base[(k * 997) % 20000:][:4000])
+    p = GeneFinder(meta=True, backend="refcore")
+    anchor = [p.find_genes(s) for s in seqs]
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=1536,
+                           batch_size=32, interpret=True)
+    outs = runner.find_genes_batch(seqs, num_seq_start=1)
+    assert len(outs) == len(seqs)
+    for i, (a, b) in enumerate(zip(anchor, outs)):
+        assert len(a) == len(b), i
+        assert [(g.begin, g.end, g.strand) for g in b] == \
+            [(g.begin, g.end, g.strand) for g in a]
+        assert b._num_seq == i + 1
