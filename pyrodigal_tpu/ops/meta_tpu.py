@@ -75,10 +75,14 @@ class TpuMetaRunner:
 
     # mega-route static buckets: node count (multiples of the kernel TILE)
     # and sequence length (multiples of 196608 = lcm(384, 65536)); finer
-    # steps cost one cached compile each but trim padded-node compute
-    MEGA_NT = (16384, 32768, 65536, 98304, 131072, 163840, 196608, 262144)
+    # steps cost one cached compile each but trim padded-node compute.
+    # The ceiling (~8.65 Mbp / 576k nodes) keeps absolute path scores
+    # within the int32 fixed-point range (dp_pallas.FXS); contigs beyond
+    # it take the exact C engine.
+    MEGA_NT = (16384, 32768, 65536, 98304, 131072, 163840, 196608,
+               262144, 327680, 393216, 458752, 589824)
     MEGA_SB = (393216, 786432, 1179648, 1572864, 1966080, 2359296,
-               2555904, 3145728, 4718592, 6291456)
+               2555904, 3145728, 4718592, 6291456, 7864320, 8650752)
     MEGA_SW = 131072        # per-2048-node-tile sequence span bound
 
     @staticmethod
