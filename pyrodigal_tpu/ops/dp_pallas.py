@@ -48,6 +48,27 @@ INT_NEG = -(2 ** 30)
 # host/JAX-side precomputation of the star-pointer tables
 # --------------------------------------------------------------------------
 
+def _igm_same(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
+    """Same-strand intergenic modifier (reference: _connection.h:52-78);
+    shared by both DP kernels and the trace-level star-table builder."""
+    dist = jnp.abs(ndx1 - ndx2)
+    overlap = ndx1 + 2 * strand1 >= ndx2
+    adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
+    fwd = strand1 == 1
+    r_n = jnp.where(fwd, rsc2, rsc1)
+    u_n = jnp.where(fwd, usc2, usc1)
+    rval = jnp.where(
+        adjacent,
+        jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
+        0.0,
+    )
+    far = dist > 3 * OPER_DIST
+    operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
+    bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
+    return rval + jnp.where(far, -0.15 * st_wt,
+                            jnp.where(operon, bonus, 0.0))
+
+
 # --------------------------------------------------------------------------
 # fully batched variant: geometry per batch element (mixed contigs x bins)
 # --------------------------------------------------------------------------
@@ -90,23 +111,7 @@ def _dp_kernel_b(  # noqa: C901
         sel = l128 == (ip - base)
         return jnp.sum(jnp.where(sel, tile, 0), axis=1, keepdims=True)
 
-    def igm_same(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
-        dist = jnp.abs(ndx1 - ndx2)
-        overlap = ndx1 + 2 * strand1 >= ndx2
-        adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
-        fwd = strand1 == 1
-        r_n = jnp.where(fwd, rsc2, rsc1)
-        u_n = jnp.where(fwd, usc2, usc1)
-        rval = jnp.where(
-            adjacent,
-            jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
-            0.0,
-        )
-        far = dist > 3 * OPER_DIST
-        operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
-        bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
-        return rval + jnp.where(far, -0.15 * st_wt,
-                                jnp.where(operon, bonus, 0.0))
+    igm_same = _igm_same
 
     def body(i, carry):
         ip = i + W
@@ -359,24 +364,9 @@ FIXED_CHUNKS = 3
 
 
 def _igm_same_jnp(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
-    """Batched f32 intergenic modifier (reference: _connection.h:52-78)."""
-    dist = jnp.abs(ndx1 - ndx2)
-    overlap = ndx1 + 2 * strand1 >= ndx2
-    adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
-    fwd = strand1 == 1
-    r_n = jnp.where(fwd, rsc2, rsc1)
-    u_n = jnp.where(fwd, usc2, usc1)
-    rval = jnp.where(
-        adjacent,
-        jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
-        0.0,
-    )
-    far = dist > 3 * OPER_DIST
-    operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
-    bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
-    return (rval + jnp.where(far, -0.15 * st_wt,
-                             jnp.where(operon, bonus, 0.0))
-            ).astype(jnp.float32)
+    """f32-cast `_igm_same` (trace-level callers mix int operands)."""
+    return _igm_same(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2,
+                     st_wt).astype(jnp.float32)
 
 
 def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
@@ -555,23 +545,7 @@ def _dp_kernel_mega(  # noqa: C901
         sel = l128 == (i - base)
         return jnp.sum(jnp.where(sel, tile, 0), axis=1, keepdims=True)
 
-    def igm_same(ndx1, strand1, rsc1, usc1, ndx2, rsc2, usc2, st_wt):
-        dist = jnp.abs(ndx1 - ndx2)
-        overlap = ndx1 + 2 * strand1 >= ndx2
-        adjacent = (ndx1 + 2 == ndx2) | (ndx1 == ndx2 + 1)
-        fwd = strand1 == 1
-        r_n = jnp.where(fwd, rsc2, rsc1)
-        u_n = jnp.where(fwd, usc2, usc1)
-        rval = jnp.where(
-            adjacent,
-            jnp.where(r_n < 0, -r_n, 0.0) + jnp.where(u_n < 0, -u_n, 0.0),
-            0.0,
-        )
-        far = dist > 3 * OPER_DIST
-        operon = ((dist <= OPER_DIST) & ~overlap) | (dist * 4 < OPER_DIST)
-        bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) * 0.15 * st_wt
-        return rval + jnp.where(far, -0.15 * st_wt,
-                                jnp.where(operon, bonus, 0.0))
+    igm_same = _igm_same
 
     base_i = t * TILE                  # global node index of local column 0
     st_wt = stwt_ref[:, 0:1]
