@@ -118,22 +118,6 @@ class BinTables:
 # host-side geometry precompute (bin-independent, once per contig x table)
 # --------------------------------------------------------------------------
 
-def sixmer_codes(digits):
-    """Forward/reverse 6-mer codes per position (reference: _sequence.h
-    mer_ndx): code = sum_k (base_k & 3) << 2k; N maps to C as in the
-    reference bitmap encoding.  Out-of-range reads clamp to the sequence."""
-    b = (digits & 3).astype(np.int32)
-    bc = np.where(digits < 4, 3 - b, 2).astype(np.int32)
-    slen = len(b)
-    bp = np.concatenate([b, np.zeros(6, np.int32)])
-    bcp = np.concatenate([np.zeros(6, np.int32), bc])
-    m6f = np.zeros(slen, np.int32)
-    m6r = np.zeros(slen, np.int32)
-    for k in range(6):
-        m6f |= bp[k:k + slen] << (2 * k)
-        m6r |= bcp[6 - k:6 - k + slen] << (2 * k)
-    return m6f, m6r
-
 
 def prepare_geometry(seq, nodes, tt, closed, max_overlap, relk):
     """Bin-independent host tensors for one (contig, translation table).
@@ -339,20 +323,6 @@ def _lookup64(T, codes, chunk=262144):
     return out.transpose(1, 0, 2).reshape(BT, KP)[:, :K].reshape(shp)
 
 
-def _lookup64_shared(T, codes):
-    """Lookup `T[codes[...]]` for one shared (4096,) table (same two-level
-    one-hot contraction as `_lookup64`, without the batch axis)."""
-    shp = codes.shape
-    flat = codes.reshape(-1)
-    hi = flat >> 6
-    lo = flat & 63
-    Tr = T.reshape(64, 64)
-    oh_hi = jax.nn.one_hot(hi, 64, dtype=T.dtype)
-    rows = jnp.einsum("kh,hl->kl", oh_hi, Tr,
-                      precision=jax.lax.Precision.HIGHEST)
-    oh_lo = jax.nn.one_hot(lo, 64, dtype=T.dtype)
-    return jnp.sum(rows * oh_lo, axis=1).reshape(shp)
-
 
 def _derive_m6(geo):
     """On-device 6-mer code arrays (G, S) from the digit sequences, with
@@ -369,12 +339,6 @@ def _derive_m6(geo):
     m6r = jnp.where(pos < geo["slen"][:, None], m6r, 0)
     return m6f, m6r
 
-
-def _gat3(a, idx):
-    """Gather (G, S) array at (G, n, K) indices -> (G, n, K)."""
-    G, n, K = idx.shape
-    return jnp.take_along_axis(a, idx.reshape(G, n * K),
-                               axis=1).reshape(G, n, K)
 
 
 def _window_gather(a, start, L):

@@ -149,3 +149,13 @@ def test_bad_input_returns_errno(tmp_path):
     rc, out, err = _run(["-i", str(tmp_path / "missing.fna")])
     assert rc != 0
     assert "Error" in err
+
+
+def test_jobs_thread_pool(data):
+    """-j/--pool must parallelize over contigs without changing output."""
+    path = data("SRR492066.fna.gz")
+    rc1, out1, err1 = _run(["-i", path, "-p", "single"])
+    rc2, out2, err2 = _run(["-i", path, "-p", "single", "-j", "2",
+                            "--pool", "thread"])
+    assert rc1 == rc2 == 0
+    assert out1 == out2
