@@ -389,8 +389,11 @@ class TpuMetaRunner:
                 for tt, bs in by_tt.items():
                     for base in range(0, len(bs), 16):
                         rows = bs[base:base + 16]
-                        dev, NT = self._sweep_mega(geoms[tt], rows)
-                        entries.append({"dev": dev, "rows": rows, "NT": NT})
+                        # dispatch on the pool: first-call compilation of
+                        # distinct bucket combos then proceeds in parallel
+                        fut = self.pool.submit(self._sweep_mega,
+                                               geoms[tt], rows)
+                        entries.append({"fut": fut, "rows": rows})
                 mega_launches.append((ci, entries))
             else:
                 nodes_maps[ci] = nodes_by_tt
@@ -450,7 +453,8 @@ class TpuMetaRunner:
         for ci, entries in mega_launches:
             cands = []
             for e in entries:
-                bests = np.asarray(e["dev"]).view(np.float32)
+                dev, _NT = e["fut"].result()
+                bests = np.asarray(dev).view(np.float32)
                 cands.extend(
                     (b, float(bests[k])) for k, b in enumerate(e["rows"]))
             submit(ci, cands)
