@@ -17,9 +17,18 @@ _SRC = os.path.join(_DIR, "refcore.c")
 _LIB = os.path.join(_DIR, "librefcore.so")
 
 
+CFLAGS = ["-O3", "-march=native", "-ffp-contract=off", "-fPIC"]
+
+
 def _build():
-    cmd = ["gcc", "-O2", "-fPIC", "-shared", _SRC, "-o", _LIB + ".tmp", "-lm"]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["gcc", *CFLAGS, "-shared", _SRC, "-o", _LIB + ".tmp", "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchain without -march=native support
+        cmd = ["gcc", "-O3", "-ffp-contract=off", "-fPIC", "-shared", _SRC,
+               "-o", _LIB + ".tmp", "-lm"]
+        subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_LIB + ".tmp", _LIB)
 
 
@@ -150,7 +159,6 @@ _lib.rc_calc_dicodon_gene_bg.argtypes = [
 _lib.rc_train_starts_sd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_train_starts_nonsd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_determine_sd_usage.argtypes = [ctypes.c_void_p]
-_lib.rc_set_bcm.argtypes = [ctypes.c_int, ctypes.c_double]
 _lib.rc_calculate_confidence.argtypes = [ctypes.c_double, ctypes.c_double]
 _lib.rc_calculate_confidence.restype = ctypes.c_double
 

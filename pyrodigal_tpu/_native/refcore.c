@@ -30,6 +30,11 @@
 #include <stdlib.h>
 #include <math.h>
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define RC_DP_AVX512 1
+#endif
+
 /* ---- constants (reference: src/Prodigal/node.h:30-38, dprog.h) ---------- */
 #define MIN_GENE_DEF 90
 #define MIN_EDGE_GENE_DEF 60
@@ -611,29 +616,106 @@ int rc_shine_dalgarno_mm(const uint8_t *d, int slen, int pos, int start,
     return max_val;
 }
 
-/* ---- RBS scan over [start-20, start-5) (reference: lib.pyx:2241-2277) --- */
+/* ---- RBS scan over [start-20, start-5) (reference: lib.pyx:2241-2277) ---
+ *
+ * LUT formulation: the shine-dalgarno matchers depend only on A/G
+ * membership of the 6 bases at the scan position and on the distance
+ * start-pos in [6, 20], so both are tabulated once at library load as
+ * (15, 4096) candidate-bit masks over the window's 6-mer code (2 bits per
+ * base).  Any base that is neither A nor G — C, T, N, or a position
+ * outside the sequence — behaves identically inside the matchers (exact:
+ * match stays -10; mm: counted as a mismatch base), so all of them fold
+ * to the C code.  Per node the scan is 15 rolling-code LUT ORs and one
+ * weight-argmax per position; the per-position selection rule (higher
+ * weight, ties to the higher index, baseline index 0) is
+ * order-independent, so it equals the scanners' running maximum, and the
+ * cross-position reduction is the reference's max over returned INDICES
+ * (lib.pyx:2262-2274). */
+static int32_t SD_EX_LUT[15][4096];
+static int32_t SD_MM_LUT[15][4096];
+
+static int32_t sd_exact_cand_mask(const uint8_t *d, int slen, int pos,
+                                  int start, int strand);
+static int32_t sd_mm_cand_mask(const uint8_t *d, int slen, int pos,
+                               int start, int strand);
+
+__attribute__((constructor))
+static void sd_luts_init(void) {
+    uint8_t buf[6];
+    int sp, code, j;
+    for (sp = 6; sp <= 20; sp++) {
+        for (code = 0; code < 4096; code++) {
+            for (j = 0; j < 6; j++) buf[j] = (uint8_t)((code >> (2 * j)) & 3);
+            SD_EX_LUT[sp - 6][code] = sd_exact_cand_mask(buf, 6, 0, sp, 1);
+            SD_MM_LUT[sp - 6][code] = sd_mm_cand_mask(buf, 6, 0, sp, 1);
+        }
+    }
+}
+
+/* argmax over the candidate set encoded in `mask` (plus the index-0
+ * baseline) by (rbs weight, then larger index) — the fixed point of the
+ * reference's running-max update rule. */
+static inline int sd_pick(int32_t mask, const double *wt) {
+    int best = 0, v;
+    double bw = wt[0];
+    while (mask) {
+        v = __builtin_ctz((unsigned)mask);
+        mask &= mask - 1;
+        if (wt[v] > bw || (wt[v] == bw && v > best)) { bw = wt[v]; best = v; }
+    }
+    return best;
+}
+
 void rc_rbs_score(const uint8_t *d, int slen, nodes_t *nd, const training_t *tinf) {
-    int i, j, s0, s1;
+    int i, p, q;
+    uint32_t code, b;
     for (i = 0; i < nd->nn; i++) {
         if (nd->type[i] == TSTOP || nd->edge[i]) continue;
-        nd->rbs0[i] = nd->rbs1[i] = 0;
+        int r0 = 0, r1 = 0, s0, s1;
         if (nd->strand[i] == 1) {
-            for (j = nd->ndx[i] - 20; j < nd->ndx[i] - 5; j++) {
-                if (j < 0) continue;
-                s0 = rc_shine_dalgarno_exact(d, slen, j, nd->ndx[i], tinf->rbs_wt, 1);
-                s1 = rc_shine_dalgarno_mm(d, slen, j, nd->ndx[i], tinf->rbs_wt, 1);
-                if (s0 > nd->rbs0[i]) nd->rbs0[i] = (uint8_t)s0;
-                if (s1 > nd->rbs1[i]) nd->rbs1[i] = (uint8_t)s1;
+            const int j0 = nd->ndx[i] - 20;
+            code = 0;
+            for (p = 0; p < 6; p++) {
+                q = j0 + p;
+                b = (q < 0 || q >= slen) ? 2u : (d[q] < 4 ? d[q] : 2u);
+                code |= b << (2 * p);
+            }
+            for (p = 0; p < 15; p++) {           /* j = j0 + p, sp = 20 - p */
+                if (j0 + p >= 0) {
+                    s0 = sd_pick(SD_EX_LUT[14 - p][code], tinf->rbs_wt);
+                    s1 = sd_pick(SD_MM_LUT[14 - p][code], tinf->rbs_wt);
+                    if (s0 > r0) r0 = s0;
+                    if (s1 > r1) r1 = s1;
+                }
+                q = j0 + p + 6;
+                b = (q < 0 || q >= slen) ? 2u : (d[q] < 4 ? d[q] : 2u);
+                code = (code >> 2) | (b << 10);
             }
         } else {
-            for (j = slen - nd->ndx[i] - 21; j < slen - nd->ndx[i] - 6; j++) {
-                if (j >= slen) continue;
-                s0 = rc_shine_dalgarno_exact(d, slen, j, slen - 1 - nd->ndx[i], tinf->rbs_wt, -1);
-                s1 = rc_shine_dalgarno_mm(d, slen, j, slen - 1 - nd->ndx[i], tinf->rbs_wt, -1);
-                if (s0 > nd->rbs0[i]) nd->rbs0[i] = (uint8_t)s0;
-                if (s1 > nd->rbs1[i]) nd->rbs1[i] = (uint8_t)s1;
+            /* logical position j reads physical slen-1-j-k complemented */
+            const int j0 = slen - nd->ndx[i] - 21;
+            code = 0;
+            for (p = 0; p < 6; p++) {
+                q = j0 + p;
+                b = (q < 0 || q >= slen) ? 2u : COMPL[d[slen - 1 - q]];
+                if (b > 3) b = 2u;
+                code |= b << (2 * p);
+            }
+            for (p = 0; p < 15; p++) {
+                if (j0 + p < slen) {
+                    s0 = sd_pick(SD_EX_LUT[14 - p][code], tinf->rbs_wt);
+                    s1 = sd_pick(SD_MM_LUT[14 - p][code], tinf->rbs_wt);
+                    if (s0 > r0) r0 = s0;
+                    if (s1 > r1) r1 = s1;
+                }
+                q = j0 + p + 6;
+                b = (q < 0 || q >= slen) ? 2u : COMPL[d[slen - 1 - q]];
+                if (b > 3) b = 2u;
+                code = (code >> 2) | (b << 10);
             }
         }
+        nd->rbs0[i] = (uint8_t)r0;
+        nd->rbs1[i] = (uint8_t)r1;
     }
 }
 
@@ -936,9 +1018,17 @@ static inline int edge_artifact(const nodes_t *nd, int n1) {
     return 0;
 }
 
+/* Candidate update rule.  The reference relaxes with `>=` over a single
+ * ascending scan of the sources, so the final (score, traceb, ov_mark)
+ * triple is the lexicographic maximum of (value, source index) over all
+ * candidates plus the (0.0, -1) baseline.  Writing the rule that way makes
+ * it order-independent, which lets the driver below visit source classes
+ * out of order (deque queries, bounded scans) and still land on the exact
+ * reference fixed point. */
 static inline void relax(nodes_t *nd, int n1, int n2, double score, int maxfr) {
-    if (nd->score[n1] + score >= nd->score[n2]) {
-        nd->score[n2] = nd->score[n1] + score;
+    double v = nd->score[n1] + score;
+    if (v > nd->score[n2] || (v == nd->score[n2] && n1 > nd->traceb[n2])) {
+        nd->score[n2] = v;
         nd->traceb[n2] = n1;
         nd->ov_mark[n2] = (int8_t)maxfr;
     }
@@ -1096,6 +1186,21 @@ static void conn_backward_stop(nodes_t *nd, int n1, int n2,
 
 /* ---- the dynamic program (reference: lib.pyx:1205-1311) ----------------- */
 
+/* Sliding-window running-max deque over finalized node scores: indices in
+ * [head, tail) with strictly decreasing scores front to back; pushes pop
+ * equal-or-smaller scores so the LARGEST index is kept among ties, matching
+ * the reference's >=-relax rule under ascending scans (see `relax`). */
+typedef struct { int32_t *buf; int head, tail; } maxdq_t;
+
+static inline void dq_push(maxdq_t *q, const double *sc, int j) {
+    while (q->tail > q->head && sc[q->buf[q->tail - 1]] <= sc[j]) q->tail--;
+    q->buf[q->tail++] = (int32_t)j;
+}
+
+static inline void dq_evict(maxdq_t *q, int minj) {
+    while (q->head < q->tail && q->buf[q->head] < minj) q->head++;
+}
+
 int rc_dp_finish(nodes_t *nd);
 
 int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
@@ -1145,6 +1250,47 @@ int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
         }
     }
 
+    /* ---- driver -----------------------------------------------------------
+     * The naive reference driver tests every (source, target) pair in the
+     * ~1000-node window.  This driver computes the same fixed point (see
+     * `relax`) with the work split by source class:
+     *
+     *   - "far" sources (ndx gap > 3*OPER_DIST): every igm-style class
+     *     contributes score[j] + C with the SAME constant C = -0.15*st_wt
+     *     (final) or 0 (initial) — igm_diff and the far branch of igm_same
+     *     coincide — so the class maximum is a sliding-window running max,
+     *     kept in monotone deques (rev starts + fwd stops for fwd-start
+     *     targets; rev starts for rev-stop targets).
+     *   - fwd-stop targets: both conn_forward_stop cases require
+     *     ndx[j] > stop_val[i]; binary-search the scan start.
+     *   - rev-start targets: fwd-stop sources require
+     *     ndx[j] > stop_val[i] - 4 and rev-stop sources require
+     *     stop_val[j] > ndx[i]; both tested branchlessly (AVX-512 when
+     *     available) before any call.
+     *   - remaining near/bounded survivors go through the unchanged
+     *     conn_* kernels.                                              */
+    int32_t *dqb = (int32_t *)malloc(2 * (size_t)nn * sizeof(int32_t));
+    if (!dqb) { free(key); return -1; }
+    maxdq_t d0 = { dqb, 0, 0 };            /* fwd-start targets' far max */
+    maxdq_t d3 = { dqb + nn, 0, 0 };       /* rev-stop targets' far max */
+    int pfar = 0;
+    const double igc = final ? (-0.15 * tinf->st_wt) : 0.0;
+
+#ifdef RC_DP_AVX512
+    /* byte LUT per (kind, frame): 0xFF where the source key is skipped;
+     * vpshufb over 64 keys at a time turns the per-candidate bit test
+     * into one shuffle + one zero-test mask. */
+    __m128i skiplut[4][3];
+    for (kind = 0; kind < 4; kind++) {
+        for (f2 = 0; f2 < 3; f2++) {
+            uint8_t b[16];
+            for (kj = 0; kj < 16; kj++)
+                b[kj] = (uint8_t)(((tab[kind][f2] >> kj) & 1) ? 0xFF : 0);
+            skiplut[kind][f2] = _mm_loadu_si128((const __m128i *)b);
+        }
+    }
+#endif
+
     for (i = 0; i < nn; i++) {
         min = (i < MAX_NODE_DIST) ? 0 : i - MAX_NODE_DIST;
         if (nd->strand[i] == -1 && nd->type[i] != TSTOP
@@ -1156,32 +1302,151 @@ int rc_dynamic_programming(nodes_t *nd, const training_t *tinf, int final) {
         }
         min = (min < MAX_NODE_DIST) ? 0 : min - MAX_NODE_DIST;
 
+        /* advance the far boundary: sources with ndx < ndx[i]-180 join
+         * their class deque once finalized (edge artifacts excluded) */
+        {
+            const int32_t thr = nd->ndx[i] - 3 * OPER_DIST;
+            while (pfar < i && nd->ndx[pfar] < thr) {
+                if (nd->traceb[pfar] != -1) {
+                    const int kk = key[pfar] >> 2;
+                    if (kk == 2) {                     /* rev start */
+                        dq_push(&d0, nd->score, pfar);
+                        dq_push(&d3, nd->score, pfar);
+                    } else if (kk == 1) {              /* fwd stop */
+                        dq_push(&d0, nd->score, pfar);
+                    }
+                }
+                pfar++;
+            }
+        }
+
         kind = key[i] >> 2;
         m = tab[kind][key[i] & 3];
-        switch (kind) {
-            case 0:
-                for (j = min; j < i; j++)
-                    if (!((m >> key[j]) & 1))
-                        conn_forward_start(nd, j, i, tinf, final);
-                break;
-            case 1:
-                for (j = min; j < i; j++)
-                    if (!((m >> key[j]) & 1))
-                        conn_forward_stop(nd, j, i, tinf, final);
-                break;
-            case 2:
-                for (j = min; j < i; j++)
-                    if (!((m >> key[j]) & 1))
-                        conn_backward_start(nd, j, i, tinf, final);
-                break;
-            default:
-                for (j = min; j < i; j++)
-                    if (!((m >> key[j]) & 1))
-                        conn_backward_stop(nd, j, i, tinf, final);
-                break;
+
+        if (kind == 0) {                       /* fwd start target */
+            dq_evict(&d0, min);
+            if (d0.head < d0.tail)
+                relax(nd, d0.buf[d0.head], i, igc, -1);
+            j = (pfar > min) ? pfar : min;
+            for (; j < i; j++)
+                if (!((m >> key[j]) & 1))
+                    conn_forward_start(nd, j, i, tinf, final);
+        } else if (kind == 1) {                /* fwd stop target */
+            /* both conn_forward_stop cases require ndx[j] > stop_val[i] */
+            int a = min, b2 = i, mid;
+            const int32_t sv = nd->stop_val[i];
+            while (a < b2) {
+                mid = (a + b2) >> 1;
+                if (nd->ndx[mid] > sv) b2 = mid; else a = mid + 1;
+            }
+            for (j = a; j < i; j++)
+                if (!((m >> key[j]) & 1))
+                    conn_forward_stop(nd, j, i, tinf, final);
+        } else if (kind == 2) {                /* rev start target */
+            const int32_t ndx_i = nd->ndx[i];
+            const int32_t svm4 = nd->stop_val[i] - 4;
+            j = min;
+#ifdef RC_DP_AVX512
+            {
+                const __m512i lut = _mm512_broadcast_i32x4(skiplut[2][key[i] & 3]);
+                const __m512i vnd = _mm512_set1_epi32(ndx_i);
+                const __m512i vsv = _mm512_set1_epi32(svm4);
+                for (; j + 64 <= i; j += 64) {
+                    const __m512i kv = _mm512_loadu_si512((const void *)(key + j));
+                    const __m512i sk = _mm512_shuffle_epi8(lut, kv);
+                    uint64_t surv = _mm512_testn_epi8_mask(sk, sk);
+                    if (!surv) continue;
+                    /* rev-stop sources: stop_val[j] > ndx[i];
+                     * fwd-stop sources: ndx[j] > stop_val[i]-4 */
+                    const uint64_t is_rstop =
+                        _mm512_cmpge_epu8_mask(kv, _mm512_set1_epi8(12)) & surv;
+                    uint64_t csv = 0, cnd = 0;
+                    int c;
+                    for (c = 0; c < 4; c++) {
+                        csv |= (uint64_t)_mm512_cmpgt_epi32_mask(
+                            _mm512_loadu_si512((const void *)(nd->stop_val + j + 16 * c)),
+                            vnd) << (16 * c);
+                        cnd |= (uint64_t)_mm512_cmpgt_epi32_mask(
+                            _mm512_loadu_si512((const void *)(nd->ndx + j + 16 * c)),
+                            vsv) << (16 * c);
+                    }
+                    surv = (is_rstop & csv) | ((surv & ~is_rstop) & cnd);
+                    while (surv) {
+                        const int t = (int)__builtin_ctzll(surv);
+                        surv &= surv - 1;
+                        conn_backward_start(nd, j + t, i, tinf, final);
+                    }
+                }
+            }
+#endif
+            for (; j < i; j++) {
+                if ((m >> key[j]) & 1) continue;
+                if ((key[j] >> 2) == 3) {      /* rev stop */
+                    if (nd->stop_val[j] <= ndx_i) continue;
+                } else {                       /* fwd stop */
+                    if (nd->ndx[j] <= svm4) continue;
+                }
+                conn_backward_start(nd, j, i, tinf, final);
+            }
+        } else {                               /* rev stop target */
+            const int32_t ndx_i = nd->ndx[i];
+            const int32_t near_thr = ndx_i - 3 * OPER_DIST - 1;
+            dq_evict(&d3, min);
+            if (d3.head < d3.tail)
+                relax(nd, d3.buf[d3.head], i, igc, -1);
+            j = min;
+#ifdef RC_DP_AVX512
+            {
+                const __m512i lut = _mm512_broadcast_i32x4(skiplut[3][key[i] & 3]);
+                const __m512i vnd = _mm512_set1_epi32(ndx_i);
+                const __m512i vnear = _mm512_set1_epi32(near_thr);
+                for (; j + 64 <= i; j += 64) {
+                    const __m512i kv = _mm512_loadu_si512((const void *)(key + j));
+                    const __m512i sk = _mm512_shuffle_epi8(lut, kv);
+                    uint64_t surv = _mm512_testn_epi8_mask(sk, sk);
+                    if (!surv) continue;
+                    /* fwd stops: unconditional; rev stops: stop_val[j] >
+                     * ndx[i]; rev starts: near region only (far ones are
+                     * covered by the d3 deque) */
+                    const uint64_t is_rstop =
+                        _mm512_cmpge_epu8_mask(kv, _mm512_set1_epi8(12)) & surv;
+                    const uint64_t is_rstart =
+                        _mm512_cmpge_epu8_mask(kv, _mm512_set1_epi8(8)) & surv
+                        & ~is_rstop;
+                    const uint64_t is_fstop = surv & ~is_rstop & ~is_rstart;
+                    uint64_t csv = 0, cnr = 0;
+                    int c;
+                    for (c = 0; c < 4; c++) {
+                        csv |= (uint64_t)_mm512_cmpgt_epi32_mask(
+                            _mm512_loadu_si512((const void *)(nd->stop_val + j + 16 * c)),
+                            vnd) << (16 * c);
+                        cnr |= (uint64_t)_mm512_cmpgt_epi32_mask(
+                            _mm512_loadu_si512((const void *)(nd->ndx + j + 16 * c)),
+                            vnear) << (16 * c);
+                    }
+                    surv = is_fstop | (is_rstop & csv) | (is_rstart & cnr);
+                    while (surv) {
+                        const int t = (int)__builtin_ctzll(surv);
+                        surv &= surv - 1;
+                        conn_backward_stop(nd, j + t, i, tinf, final);
+                    }
+                }
+            }
+#endif
+            for (; j < i; j++) {
+                if ((m >> key[j]) & 1) continue;
+                const int kk = key[j] >> 2;
+                if (kk == 3) {                 /* rev stop */
+                    if (nd->stop_val[j] <= ndx_i) continue;
+                } else if (kk == 2) {          /* rev start: near only */
+                    if (nd->ndx[j] <= near_thr) continue;
+                }
+                conn_backward_stop(nd, j, i, tinf, final);
+            }
         }
     }
 
+    free(dqb);
     free(key);
     return rc_dp_finish(nd);
 }
@@ -1746,14 +2011,13 @@ static void update_motif_counts(double mcnt[4][4][4096], double *zero,
  * Reconstructed from spec: a 3-mer motif is "good" if it was counted in at
  * least 20% of the genes in any spacer bin; a longer motif additionally
  * requires both of its (n-1)-mer sub-motifs to be good. */
-static int BCM_VARIANT = 2;
-static double BCM_THRESH = 0.20;
-void rc_set_bcm(int variant, double thresh) { BCM_VARIANT = variant; BCM_THRESH = thresh; }
-
+/* variant/thresh are threaded through as arguments (no mutable globals —
+ * the entry points run concurrently on the runner's thread pool); the
+ * production choice is variant 2, thresh 0.20. */
 void rc_build_coverage_map(double real[4][4][4096], int good[4][4][4096],
-                           double ng, int stage) {
+                           double ng, int stage, int BCM_VARIANT,
+                           double thresh) {
     int i, j, l, size, pre, suf, any;
-    double thresh = BCM_THRESH;
 
     memset(good, 0, 4 * 4 * 4096 * sizeof(int));
     for (i = 0; i < 64; i++) {
@@ -2105,7 +2369,8 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
         }
 
         /* update type and motif log-likelihood weights */
-        if (stage < 2) rc_build_coverage_map(mreal, mgood, ngenes, stage);
+        if (stage < 2)
+            rc_build_coverage_map(mreal, mgood, ngenes, stage, 2, 0.20);
         sum = 0.0;
         for (j = 0; j < 4; j++)
             for (k = 0; k < 4; k++)
@@ -2360,15 +2625,8 @@ void rc_motif_candidates(const uint8_t *d, int slen, const nodes_t *nd,
  * masks as (15, 4096) tables so the device derives every node's candidate
  * masks from the on-device 6-mer code arrays with two gathers. */
 void rc_sd_cand_luts(int32_t *ex, int32_t *mm) {
-    uint8_t buf[6];
-    int sp, code, j;
-    for (sp = 6; sp <= 20; sp++) {
-        for (code = 0; code < 4096; code++) {
-            for (j = 0; j < 6; j++) buf[j] = (uint8_t)((code >> (2 * j)) & 3);
-            ex[(sp - 6) * 4096 + code] = sd_exact_cand_mask(buf, 6, 0, sp, 1);
-            mm[(sp - 6) * 4096 + code] = sd_mm_cand_mask(buf, 6, 0, sp, 1);
-        }
-    }
+    memcpy(ex, SD_EX_LUT, sizeof(SD_EX_LUT));
+    memcpy(mm, SD_MM_LUT, sizeof(SD_MM_LUT));
 }
 
 /* -- star-pointer candidate lists -------------------------------------------

@@ -28,7 +28,12 @@ setup(
         Extension(
             "pyrodigal_tpu._native.librefcore",
             sources=["pyrodigal_tpu/_native/refcore.c"],
-            extra_compile_args=["-O2"],
+            # -march=native: the wheel is built for (and on) the deploy
+            # host; the ctypes loader rebuilds from source when a compiler
+            # is available, so the shipped object only needs to match the
+            # build machine.  -ffp-contract=off keeps the float64 engine
+            # bit-identical across instruction sets (no FMA contraction).
+            extra_compile_args=["-O3", "-march=native", "-ffp-contract=off"],
             libraries=["m"],
         )
     ],
