@@ -465,7 +465,8 @@ MEGA_TILE = 2048
 
 def _dp_kernel_mega(  # noqa: C901
     nn_ref,
-    ndx_ref, sv_ref, kind_ref, winlo_ref, cs_ref, rsc_ref, usc_ref,
+    ndx_ref, sv_ref, kind_ref, winlo_ref, ovlo_ref,
+    cs_ref, rsc_ref, usc_ref,
     opv10_ref, opv11_ref, opv12_ref,
     val30_ref, val31_ref, val32_ref,
     tsv0_ref, tsv1_ref, tsv2_ref,
@@ -475,6 +476,7 @@ def _dp_kernel_mega(  # noqa: C901
     b_ndx, b_sv, b_kind, b_cs, b_rsc, b_usc,
     b_opv0, b_opv1, b_opv2,
     b_score, b_tb, b_tbndx, b_ov,
+    r_val, r_idx, r_ndx, r_sv,
     *, W, TILE, PREF, B, MAX_CHUNKS,
 ):
     """Every row of a mega launch is a BIN over the SAME geometry, which
@@ -482,12 +484,40 @@ def _dp_kernel_mega(  # noqa: C901
     (ndx, stop_val, kind, win_lo) are true scalars read from (1, TILE)
     operands, and the 4-way (strand, type) case dispatch becomes a scalar
     `lax.switch` — each step computes ONLY its own case's scores and skip
-    predicates (the generic kernel computes all four and selects)."""
+    predicates (the generic kernel computes all four and selects).
+
+    Class registers (mirroring the exact C driver, refcore.c
+    rc_dynamic_programming): the reference's window scan decomposes by
+    source class, and two whole target kinds collapse to O(1) register
+    queries per step:
+
+      * fwd-STOP targets connect only to nodes with ndx > stop_val[i]
+        (their own ORF): per (bin, frame) running maxima of
+        score[j]+cscore[j] over fwd starts (gene) and of
+        score[j]+opv_f[j] over fwd stops (operon), reset whenever a
+        frame-f fwd stop passes — exactly the ndx > stop_val range,
+        with no window clipping because the reference's giant-ORF window
+        extension always covers the full ORF.
+      * rev-START targets connect to at most ONE rev stop (the unique
+        enclosing same-frame stop, stop_val[j] > ndx[i]): per (bin,
+        frame) latest-rev-stop registers (score, stop_val, index, ndx).
+        Their opposite-strand fwd-stop sources cluster within 200 bp of
+        the target's own stop_val: a single 384-lane window read at the
+        precomputed node offset `ovlo[i]` (host searchsorted).
+
+    Register layout (scratch, persists across tiles): (B, 128) lanes
+    0-2 = gene maxima by frame, 3-5 = operon maxima by target frame,
+    6-8 = latest rev stop by frame; r_sv carries the rev stops'
+    stop_val (geometry-shared).  Candidate selection is everywhere the
+    lexicographic (value, source index) maximum, which equals the
+    reference's `>=` relaxation under ascending scans."""
     t = pl.program_id(0)
     WP = W + 128
+    OVW = 384                          # kind-2 overlap-window lanes
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, WP), 1)
     l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     l128_1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lov1 = jax.lax.broadcasted_iota(jnp.int32, (1, OVW), 1)
     win_bufs_g = (b_ndx, b_sv, b_kind)             # (1, PREF+TILE)
     win_bufs_b = (b_cs, b_rsc, b_usc, b_opv0, b_opv1, b_opv2,
                   b_score, b_tb, b_tbndx, b_ov)    # (B, PREF+TILE)
@@ -509,6 +539,10 @@ def _dp_kernel_mega(  # noqa: C901
         b_tb[:, :PREF] = jnp.full((B, PREF), -1, jnp.int32)
         b_tbndx[:, :PREF] = jnp.zeros((B, PREF), jnp.int32)
         b_ov[:, :PREF] = jnp.full((B, PREF), -1, jnp.int32)
+        r_val[...] = jnp.full((B, 128), INT_NEG, jnp.int32)
+        r_idx[...] = jnp.full((B, 128), -1, jnp.int32)
+        r_ndx[...] = jnp.zeros((B, 128), jnp.int32)
+        r_sv[...] = jnp.full((1, 128), -(10 ** 9), jnp.int32)
 
     @pl.when(t != 0)
     def _shift():
@@ -551,6 +585,25 @@ def _dp_kernel_mega(  # noqa: C901
     st_wt = stwt_ref[:, 0:1]
     igm_diff = jnp.float32(-0.15) * st_wt
 
+    def regcol(ref, k):
+        """(B,) column k (traced scalar lane) of a (B, 128) register."""
+        return jnp.sum(jnp.where(l128 == k, ref[...], 0), axis=1)
+
+    def regcol1(ref, k):
+        """scalar column k of a (1, 128) register."""
+        return jnp.sum(jnp.where(l128_1 == k, ref[...], 0))
+
+    def lexmax(a, b):
+        """(val, idx, fr, ndx) lexicographic max by (val, then idx)."""
+        v1, j1, f1, n1 = a
+        v2, j2, f2, n2 = b
+        take2 = (v2 > v1) | ((v2 == v1) & (j2 > j1))
+        return (jnp.where(take2, v2, v1), jnp.where(take2, j2, j1),
+                jnp.where(take2, f2, f1), jnp.where(take2, n2, n1))
+
+    def quant(x):
+        return jnp.round(x * FXS).astype(jnp.int32)
+
     def body(i, carry):
         ip = i + PREF                  # scratch coordinate
 
@@ -563,37 +616,78 @@ def _dp_kernel_mega(  # noqa: C901
         rsc_i = colB(rsc_ref, i)
         usc_i = colB(usc_ref, i)
 
-        def chunk_body(c, carry):
-            best, bestj, bestf, bestn = carry
-            lo = ip - (c + 1) * W
-            hi = ip - c * W
-            al = pl.multiple_of((lo // 128) * 128, 128)
-            al = jnp.maximum(al, 0)
-            al = pl.multiple_of(al, 128)
-            sl = pl.ds(al, WP)
-            jp = al + lane1                            # (1, WP)
+        empty4 = (
+            jnp.full((B,), INT_NEG, jnp.int32),
+            jnp.full((B,), -1, jnp.int32),
+            jnp.full((B,), -1, jnp.int32),
+            jnp.full((B,), 0, jnp.int32),
+        )
 
-            n1_ndx = b_ndx[0:1, sl]
-            n1_sv = b_sv[0:1, sl]
-            n1_kind = b_kind[0:1, sl]
-            n1_score = b_score[:, sl]
-            n1_tb = b_tb[:, sl]
+        def window_pass(case_fn, n_chunks):
+            """Chunked window scan [win_lo, ip) with one case's scores;
+            returns (val, GLOBAL idx, fr, ndx)."""
 
-            inwin = ((jp >= lo) & (jp < hi) & (jp >= win_lo) & (jp < ip)
-                     & (n1_kind != 4))                 # (1, WP)
+            def chunk_body(c, carry):
+                best, bestj, bestf, bestn = carry
+                lo = ip - (c + 1) * W
+                hi = ip - c * W
+                al = pl.multiple_of((lo // 128) * 128, 128)
+                al = jnp.maximum(al, 0)
+                al = pl.multiple_of(al, 128)
+                sl = pl.ds(al, WP)
+                jp = al + lane1                            # (1, WP)
 
-            f1_stop = n1_kind == 1
-            f1_start = n1_kind == 0
-            r1_stop = n1_kind == 3
-            r1_start = n1_kind == 2
-            n1_fwd = n1_kind < 2
-            n1_stop = f1_stop | r1_stop
-            artifact = (n1_tb == -1) & (f1_stop | r1_start)   # (B, WP)
+                n1_ndx = b_ndx[0:1, sl]
+                n1_sv = b_sv[0:1, sl]
+                n1_kind = b_kind[0:1, sl]
+                n1_score = b_score[:, sl]
+                n1_tb = b_tb[:, sl]
 
-            def case_fwd_start():
-                # predecessors: fwd stops (intergenic) or rev starts
-                # (opposite-strand); per-case skip specialization of
-                # impl/generic.h:13-37
+                inwin = ((jp >= lo) & (jp < hi) & (jp >= win_lo)
+                         & (jp < ip) & (n1_kind != 4))     # (1, WP)
+
+                cand, m = case_fn(sl, jp, n1_ndx, n1_sv, n1_kind,
+                                  n1_score, n1_tb, inwin)
+
+                lane = jnp.broadcast_to(lane1, (B, WP))
+                n1_ndx_b = jnp.broadcast_to(n1_ndx, (B, WP))
+                ok_cand = cand > jnp.float32(NEGF / 2)
+                candq = jnp.round(jnp.where(ok_cand, cand, 0.0) * FXS
+                                  ).astype(jnp.int32)
+                total = jnp.where(ok_cand, n1_score + candq, INT_NEG)
+                cmax = jnp.max(total, axis=1, keepdims=True)
+                is_max = total == cmax
+                pick = jnp.max(jnp.where(is_max, lane, -1), axis=1,
+                               keepdims=True)
+                sel = lane == pick
+                # one packed reduction delivers both the ov_mark frame m
+                # (2 bits, biased +1) and the predecessor ndx (< 2^28)
+                meta = jnp.max(jnp.where(sel, n1_ndx_b * 4 + (m + 1), -1),
+                               axis=1, keepdims=True)
+                cmaxv = cmax[:, 0]
+                upd = cmaxv > best
+                metav = meta[:, 0]
+                bestj = jnp.where(upd, al + pick[:, 0], bestj)
+                bestf = jnp.where(upd, (metav & 3) - 1, bestf)
+                bestn = jnp.where(upd, metav >> 2, bestn)
+                best = jnp.where(upd, cmaxv, best)
+                return best, bestj, bestf, bestn
+
+            best, bestj, bestf, bestn = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, empty4)
+            bestj = jnp.where(best > INT_NEG // 2,
+                              bestj - PREF + base_i, -1)
+            return best, bestj, bestf, bestn
+
+        def branch_fwd_start():
+            # predecessors: fwd stops (intergenic) or rev starts
+            # (opposite-strand); window = [i-1000, i), never extended
+            def case(sl, jp, n1_ndx, n1_sv, n1_kind, n1_score, n1_tb,
+                     inwin):
+                f1_stop = n1_kind == 1
+                r1_start = n1_kind == 2
+                n1_fwd = n1_kind < 2
+                artifact = (n1_tb == -1) & (f1_stop | r1_start)
                 ok = ((f1_stop & ((n1_ndx + 2) < i_ndx))
                       | (r1_start & (n1_ndx < i_ndx)))
                 n1_rsc = b_rsc[:, sl]
@@ -602,61 +696,106 @@ def _dp_kernel_mega(  # noqa: C901
                                    n1_rsc, n1_usc, i_ndx, rsc_i, usc_i,
                                    st_wt)
                 sc = jnp.where(f1_stop, igm_j_i, igm_diff)
-                okc = inwin & ok & ~artifact
-                cand = jnp.where(okc, sc, jnp.float32(NEGF))
+                cand = jnp.where(inwin & ok & ~artifact, sc,
+                                 jnp.float32(NEGF))
                 return (jnp.broadcast_to(cand, (B, WP)),
                         jnp.broadcast_to(jnp.int32(-1), (B, WP)))
 
-            def case_fwd_stop():
-                # predecessors: same-frame fwd starts (gene) or fwd stops
-                # (operon, via the star table)
-                gene_ok = i_sv < n1_ndx
-                samefr = (n1_ndx % 3) == i_fr
-                ok = ((f1_start & samefr & gene_ok)
-                      | (f1_stop & gene_ok))
-                n1_cs = b_cs[:, sl]
-                opv = jax.lax.switch(
-                    i_fr, [lambda: b_opv0[:, sl], lambda: b_opv1[:, sl],
-                           lambda: b_opv2[:, sl]])
-                sc = jnp.where(f1_start, n1_cs, opv)
-                okc = inwin & ok & ~artifact
-                cand = jnp.where(okc, sc, jnp.float32(NEGF))
-                return (jnp.broadcast_to(cand, (B, WP)),
-                        jnp.broadcast_to(jnp.int32(-1), (B, WP)))
+            ext = ip - win_lo
+            return window_pass(case, jnp.clip((ext + W - 1) // W, 1, 2))
 
-            def case_rev_start():
-                # predecessors: rev stops (gene) or fwd stops (opposite-
-                # strand overlap)
-                n1_tbndx = b_tbndx[:, sl]
-                bnd = jnp.where(n1_tb == -1, 0, n1_tbndx)
-                ovlp = (n1_ndx + 2) - (i_sv - 2) + 1
-                ov_ok = (
-                    ((i_sv - 2) < (n1_ndx + 2))
-                    & (ovlp < MAX_OPP_OVLP)
-                    & ((n1_ndx - i_sv) < (i_ndx - n1_ndx + 3))
-                    & ((n1_ndx - i_sv) < (i_sv - 3 - bnd))
-                )
-                samefr = (n1_ndx % 3) == i_fr
-                ok = ((r1_stop & samefr & (n1_sv > i_ndx))
-                      | (f1_stop & ov_ok))
-                sc = jnp.where(r1_stop, cs_i, cs_i + igm_diff)
-                okc = inwin & ok & ~artifact
-                cand = jnp.where(okc, sc, jnp.float32(NEGF))
-                return (jnp.broadcast_to(cand, (B, WP)),
-                        jnp.broadcast_to(jnp.int32(-1), (B, WP)))
+        def branch_fwd_stop():
+            # O(1): gene register (same-frame fwd starts with
+            # ndx > stop_val[i]) + operon register (fwd stops via the
+            # star table) — both maintained with exactly that range by
+            # the reset-on-frame-stop rule below
+            gv = regcol(r_val, i_fr)
+            gj = regcol(r_idx, i_fr)
+            gn = regcol(r_ndx, i_fr)
+            ov = regcol(r_val, 3 + i_fr)
+            oj = regcol(r_idx, 3 + i_fr)
+            on = regcol(r_ndx, 3 + i_fr)
+            neg1 = jnp.full((B,), -1, jnp.int32)
+            return lexmax((gv, gj, neg1, gn), (ov, oj, neg1, on))
 
-            def case_rev_stop():
-                # predecessors: fwd stops (triple-overlap star scan), rev
-                # starts (gene-before), rev stops (operon via star table)
-                v30 = colB(val30_ref, i)
-                v31 = colB(val31_ref, i)
-                v32 = colB(val32_ref, i)
-                sv30 = colB(tsv0_ref, i)
-                sv31 = colB(tsv1_ref, i)
-                sv32 = colB(tsv2_ref, i)
-                nd30 = colB(tndx0_ref, i)
-                nd31 = colB(tndx1_ref, i)
-                nd32 = colB(tndx2_ref, i)
+        def branch_rev_start():
+            # the unique enclosing same-frame rev stop via register,
+            # plus fwd stops within 200 bp of stop_val[i] via one
+            # OVW-lane window at the precomputed node offset
+            rv = regcol(r_val, 6 + i_fr)
+            rj = regcol(r_idx, 6 + i_fr)
+            rn = regcol(r_ndx, 6 + i_fr)
+            rsv = regcol1(r_sv, 6 + i_fr)
+            csq = quant(cs_i)[:, 0]                     # (B,)
+            valid = rsv > i_ndx
+            cand_r = (jnp.where(valid, rv + csq, INT_NEG),
+                      jnp.where(valid, rj, -1),
+                      jnp.full((B,), -1, jnp.int32),
+                      jnp.where(valid, rn, 0))
+
+            olo = colG(ovlo_ref, i) - base_i + PREF     # scratch coord
+            al = pl.multiple_of((jnp.maximum(olo, 0) // 128) * 128, 128)
+            # clamp so the OVW-lane slice stays inside the scratch width;
+            # when clamped the window still covers [olo, ip) because
+            # olo >= al was only possible with al > sw - OVW
+            al = jnp.minimum(al, PREF + TILE - OVW)
+            al = pl.multiple_of(al, 128)
+            sl = pl.ds(al, OVW)
+            jp = al + lov1                              # (1, OVW)
+            n1_ndx = b_ndx[0:1, sl]
+            n1_kind = b_kind[0:1, sl]
+            n1_score = b_score[:, sl]
+            n1_tb = b_tb[:, sl]
+            n1_tbndx = b_tbndx[:, sl]
+            bnd = jnp.where(n1_tb == -1, 0, n1_tbndx)
+            ovlp = (n1_ndx + 2) - (i_sv - 2) + 1
+            ov_ok = (
+                ((i_sv - 2) < (n1_ndx + 2))
+                & (ovlp < MAX_OPP_OVLP)
+                & ((n1_ndx - i_sv) < (i_ndx - n1_ndx + 3))
+                & ((n1_ndx - i_sv) < (i_sv - 3 - bnd))
+            )
+            okc = ((jp >= olo) & (jp < ip) & (jp >= win_lo)
+                   & (n1_kind == 1) & (n1_tb != -1) & ov_ok)
+            sc = cs_i + igm_diff
+            candq = jnp.where(okc, n1_score + quant(
+                jnp.where(okc, jnp.broadcast_to(sc, okc.shape), 0.0)),
+                INT_NEG)
+            lane = jnp.broadcast_to(jp, (B, OVW))
+            cmax = jnp.max(candq, axis=1, keepdims=True)
+            pick = jnp.max(jnp.where(candq == cmax, lane, -1), axis=1,
+                           keepdims=True)
+            nsel = jnp.max(jnp.where(lane == pick,
+                                     jnp.broadcast_to(n1_ndx, (B, OVW)),
+                                     0), axis=1)
+            cmaxv = cmax[:, 0]
+            okv = cmaxv > INT_NEG // 2
+            cand_w = (cmaxv,
+                      jnp.where(okv, pick[:, 0] - PREF + base_i, -1),
+                      jnp.full((B,), -1, jnp.int32),
+                      nsel)
+            return lexmax(cand_r, cand_w)
+
+        def branch_rev_stop():
+            # fwd stops (triple-overlap star scan + intergenic), rev
+            # starts (gene-before), rev stops (operon via star table);
+            # window = [i-1000, i), never extended
+            v30 = colB(val30_ref, i)
+            v31 = colB(val31_ref, i)
+            v32 = colB(val32_ref, i)
+            sv30 = colB(tsv0_ref, i)
+            sv31 = colB(tsv1_ref, i)
+            sv32 = colB(tsv2_ref, i)
+            nd30 = colB(tndx0_ref, i)
+            nd31 = colB(tndx1_ref, i)
+            nd32 = colB(tndx2_ref, i)
+
+            def case(sl, jp, n1_ndx, n1_sv, n1_kind, n1_score, n1_tb,
+                     inwin):
+                f1_stop = n1_kind == 1
+                r1_stop = n1_kind == 3
+                r1_start = n1_kind == 2
+                artifact = (n1_tb == -1) & (f1_stop | r1_start)
                 n1_rsc = b_rsc[:, sl]
                 n1_usc = b_usc[:, sl]
                 n1_tbndx = b_tbndx[:, sl]
@@ -666,7 +805,8 @@ def _dp_kernel_mega(  # noqa: C901
                 bv = jnp.zeros((B, WP), jnp.float32)
                 bf = jnp.full((B, WP), -1, jnp.int32)
                 for k, (v_i, sv_i3, ndx_i3) in enumerate((
-                    (v30, sv30, nd30), (v31, sv31, nd31), (v32, sv32, nd32),
+                    (v30, sv30, nd30), (v31, sv31, nd31),
+                    (v32, sv32, nd32),
                 )):
                     o = left - sv_i3 + 3
                     vald = (
@@ -689,50 +829,18 @@ def _dp_kernel_mega(  # noqa: C901
                 ok = ((f1_stop & (left < right))
                       | (r1_start & (n1_ndx < right))
                       | (r1_stop & (n1_sv > i_ndx)))
-                okc = inwin & ok & ~artifact
-                cand = jnp.where(okc, sc, jnp.float32(NEGF))
+                cand = jnp.where(inwin & ok & ~artifact, sc,
+                                 jnp.float32(NEGF))
                 m = jnp.where(f1_stop, bf, -1)
                 return (jnp.broadcast_to(cand, (B, WP)),
                         jnp.broadcast_to(m, (B, WP)))
 
-            cand, m = jax.lax.switch(
-                i_kind, [case_fwd_start, case_fwd_stop, case_rev_start,
-                         case_rev_stop])
+            ext = ip - win_lo
+            return window_pass(case, jnp.clip((ext + W - 1) // W, 1, 2))
 
-            lane = jnp.broadcast_to(lane1, (B, WP))
-            n1_ndx_b = jnp.broadcast_to(n1_ndx, (B, WP))
-            ok_cand = cand > jnp.float32(NEGF / 2)
-            candq = jnp.round(jnp.where(ok_cand, cand, 0.0) * FXS
-                              ).astype(jnp.int32)
-            total = jnp.where(ok_cand, n1_score + candq, INT_NEG)
-            cmax = jnp.max(total, axis=1, keepdims=True)
-            is_max = total == cmax
-            pick = jnp.max(jnp.where(is_max, lane, -1), axis=1,
-                           keepdims=True)
-            sel = lane == pick
-            meta = jnp.max(jnp.where(sel, n1_ndx_b * 4 + (m + 1), -1),
-                           axis=1, keepdims=True)
-            cmaxv = cmax[:, 0]
-            upd = cmaxv > best
-            metav = meta[:, 0]
-            bestj = jnp.where(upd, al + pick[:, 0], bestj)
-            bestf = jnp.where(upd, (metav & 3) - 1, bestf)
-            bestn = jnp.where(upd, metav >> 2, bestn)
-            best = jnp.where(upd, cmaxv, best)
-            return best, bestj, bestf, bestn
-
-        carry4 = (
-            jnp.full((B,), INT_NEG, jnp.int32),
-            jnp.full((B,), -1, jnp.int32),
-            jnp.full((B,), -1, jnp.int32),
-            jnp.full((B,), 0, jnp.int32),
-        )
-        ext = ip - win_lo
-        n_chunks = jnp.clip((ext + W - 1) // W, 1, MAX_CHUNKS)
-        carry4 = jax.lax.fori_loop(0, n_chunks, chunk_body, carry4)
-        best, bestj, bestf, bestn = carry4
-        # traceback values are GLOBAL node indices
-        bestj = bestj - PREF + base_i
+        best, bestj, bestf, bestn = jax.lax.switch(
+            i_kind, [branch_fwd_start, branch_fwd_stop, branch_rev_start,
+                     branch_rev_stop])
 
         base = pl.multiple_of((ip // 128) * 128, 128)
         selc = l128 == (ip - base)
@@ -747,6 +855,56 @@ def _dp_kernel_mega(  # noqa: C901
         b_tb[:, pl.ds(base, 128)] = jnp.where(doc, bestj[:, None], cur_tb)
         b_ov[:, pl.ds(base, 128)] = jnp.where(doc, bestf[:, None], cur_ov)
         b_tbndx[:, pl.ds(base, 128)] = jnp.where(doc, bestn[:, None], cur_tn)
+
+        # ---- register maintenance (this node as a future source) ---------
+        sfin = jnp.where(do, best, 0)                  # committed score
+        live = do                                      # traceb != -1
+        ig = base_i + i
+
+        def upd_fwd_start():
+            # gene register, lane i_fr: score + quantized cscore;
+            # >= keeps the larger index on ties (ascending pushes)
+            cand = sfin + quant(cs_i)[:, 0]
+            m = (l128 == i_fr) & (cand[:, None] >= r_val[...])
+            r_val[...] = jnp.where(m, cand[:, None], r_val[...])
+            r_idx[...] = jnp.where(m, ig, r_idx[...])
+            r_ndx[...] = jnp.where(m, i_ndx, r_ndx[...])
+
+        def upd_fwd_stop():
+            # reset own-frame gene/operon ranges (sources must have
+            # ndx > stop_val of later same-frame stops = this node's ndx),
+            # then offer this stop to the OTHER frames' operon lanes
+            rm = (l128 == i_fr) | (l128 == 3 + i_fr)
+            r_val[...] = jnp.where(rm, INT_NEG, r_val[...])
+            r_idx[...] = jnp.where(rm, -1, r_idx[...])
+            opv0 = colB(opv10_ref, i)
+            opv1 = colB(opv11_ref, i)
+            opv2 = colB(opv12_ref, i)
+            for f2 in range(3):
+                opv = (opv0, opv1, opv2)[f2]
+                okv = live[:, None] & (opv > jnp.float32(NEGF / 2)) \
+                    & (i_fr != f2)
+                cand = sfin[:, None] + quant(jnp.where(okv, opv, 0.0))
+                m = (l128 == 3 + f2) & okv & (cand >= r_val[...])
+                r_val[...] = jnp.where(m, cand, r_val[...])
+                r_idx[...] = jnp.where(m, ig, r_idx[...])
+                r_ndx[...] = jnp.where(m, i_ndx, r_ndx[...])
+
+        def upd_rev_start():
+            pass
+
+        def upd_rev_stop():
+            # latest rev stop per frame (the unique candidate for later
+            # same-frame rev starts and the operon source for rev stops)
+            m = l128 == 6 + i_fr
+            r_val[...] = jnp.where(m, sfin[:, None], r_val[...])
+            r_idx[...] = jnp.where(m, ig, r_idx[...])
+            r_ndx[...] = jnp.where(m, i_ndx, r_ndx[...])
+            m1 = l128_1 == 6 + i_fr
+            r_sv[...] = jnp.where(m1, i_sv, r_sv[...])
+
+        jax.lax.switch(i_kind, [upd_fwd_start, upd_fwd_stop,
+                                upd_rev_start, upd_rev_stop])
         return 0
 
     steps = jnp.clip(nn_ref[0] - base_i, 0, TILE)
@@ -790,6 +948,10 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((B, sw), jnp.int32),    # b_tb
         pltpu.VMEM((B, sw), jnp.int32),    # b_tbndx
         pltpu.VMEM((B, sw), jnp.int32),    # b_ov
+        pltpu.VMEM((B, 128), jnp.int32),   # r_val (class registers)
+        pltpu.VMEM((B, 128), jnp.int32),   # r_idx
+        pltpu.VMEM((B, 128), jnp.int32),   # r_ndx
+        pltpu.VMEM((1, 128), jnp.int32),   # r_sv
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -797,7 +959,7 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         in_specs=[
             pl.BlockSpec((1, TILE), lambda g, _nn: (0, g),
                          memory_space=pltpu.VMEM)    # geometry, shared row
-            for _ in range(4)
+            for _ in range(5)
         ] + [
             pl.BlockSpec((B, TILE), lambda g, _nn: (0, g),
                          memory_space=pltpu.VMEM)
@@ -862,9 +1024,15 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     kind4 = jnp.where(valid != 0, kind, 4)
     nn = jnp.sum((valid[0] != 0).astype(jnp.int32))[None].astype(jnp.int32)
 
+    # kind-2 overlap-window offsets: first node with ndx >= stop_val[i]-3
+    # (the fwd-stop sources of a rev-start target all satisfy
+    # ndx > stop_val[i]-4; padding keys sort last)
+    sort_key = jnp.where(valid[0] != 0, ndx[0], 2 ** 30)
+    ovlo = jnp.searchsorted(sort_key, stop_val[0] - 3).astype(jnp.int32)
+
     # geometry operands are shared by every bin row -> ship (1, NT)
     args = tuple(
-        [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1]]
+        [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None]]
         + [cs, rsc, usc]
         + opv1 + val3 + t_sv + t_ndx
         + [jnp.broadcast_to(st_wt[:, None], (B, 128))]

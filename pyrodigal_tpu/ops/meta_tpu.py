@@ -121,6 +121,14 @@ class TpuMetaRunner:
         ext = int((np.arange(nn) - g["win_lo"]).max())
         if ext > dp_pallas.MEGA_CHUNKS * dp_pallas.W_MEGA:
             return False
+        # the kernel's kind-2 overlap window reads 384 lanes at the node
+        # offset of stop_val[i]-3; all its candidates live within 200 bp,
+        # so bound the node count of any 200-bp span (250 + up to 127
+        # alignment lanes <= 384; real genomes peak around 25)
+        ndx_sorted = np.sort(g["ndx"][:nn])
+        if nn and int((np.searchsorted(ndx_sorted, ndx_sorted + 200)
+                       - np.arange(nn)).max()) > 250:
+            return False
         # consecutive-node-tile sequence span (window gather locality);
         # gap compaction collapses node-free stretches when it overflows
         if self._tile_span(g["ndx"], nn) + 512 > self.MEGA_SW:
