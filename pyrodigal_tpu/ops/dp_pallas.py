@@ -984,11 +984,13 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
 
 
 def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
-                  sp, st_wt, NT, interpret=False, star_span=None):
+                  sp, st_wt, NT, interpret=False, star_span=None,
+                  tables=None):
     """`_dp_core` for one long contig: same derived star tables, then the
     node-axis-gridded kernel.  All arrays are (B, NT) with the real nodes
     in the first `nn` columns; traceback values come back as global node
-    indices (no front padding)."""
+    indices (no front padding).  `tables` short-circuits the star-table
+    gather when the fused star_pallas kernel already built them."""
     B, n = ndx.shape
     assert n == NT
     kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
@@ -1008,18 +1010,21 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
             0, 2 * star_span + 1, body,
             tuple(jnp.zeros_like(a) for a in arrays)))
 
-    opv1, val3, t_sv, t_ndx = [], [], [], []
-    for k in range(3):
-        spk = sp[k].astype(jnp.int32)
-        okm = spk != -1
-        g_ndx, g_cs, g_rs, g_us, g_str, g_sv = gather_near(
-            (ndx, cs, rsc, usc, strand, stop_val), spk, okm)
-        opv1.append(jnp.where(okm, g_cs + _igm_same_jnp(
-            ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw), NEG))
-        val3.append(jnp.where(okm, g_cs + _igm_same_jnp(
-            g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw), NEG))
-        t_sv.append(jnp.where(okm, g_sv, -(10 ** 9)))
-        t_ndx.append(jnp.where(okm, g_ndx, 0))
+    if tables is not None:
+        opv1, val3, t_sv, t_ndx = tables
+    else:
+        opv1, val3, t_sv, t_ndx = [], [], [], []
+        for k in range(3):
+            spk = sp[k].astype(jnp.int32)
+            okm = spk != -1
+            g_ndx, g_cs, g_rs, g_us, g_str, g_sv = gather_near(
+                (ndx, cs, rsc, usc, strand, stop_val), spk, okm)
+            opv1.append(jnp.where(okm, g_cs + _igm_same_jnp(
+                ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw), NEG))
+            val3.append(jnp.where(okm, g_cs + _igm_same_jnp(
+                g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw), NEG))
+            t_sv.append(jnp.where(okm, g_sv, -(10 ** 9)))
+            t_ndx.append(jnp.where(okm, g_ndx, 0))
 
     kind4 = jnp.where(valid != 0, kind, 4)
     nn = jnp.sum((valid[0] != 0).astype(jnp.int32))[None].astype(jnp.int32)
@@ -1028,7 +1033,8 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     # (the fwd-stop sources of a rev-start target all satisfy
     # ndx > stop_val[i]-4; padding keys sort last)
     sort_key = jnp.where(valid[0] != 0, ndx[0], 2 ** 30)
-    ovlo = jnp.searchsorted(sort_key, stop_val[0] - 3).astype(jnp.int32)
+    ovlo = jnp.searchsorted(sort_key, stop_val[0] - 3,
+                            method="sort").astype(jnp.int32)
 
     # geometry operands are shared by every bin row -> ship (1, NT)
     args = tuple(

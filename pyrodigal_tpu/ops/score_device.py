@@ -582,9 +582,13 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
 
 
 def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
-                 has_nonsd, relk, max_overlap):
+                 has_nonsd, relk, max_overlap, skip_star=False):
     """Compute cscore/sscore/rscore/uscore and star pointers for a batch of
-    (contig, bin) work items (reference: lib.pyx:2119-2487, 2279-2329)."""
+    (contig, bin) work items (reference: lib.pyx:2119-2487, 2279-2329).
+
+    With skip_star=True the XLA star sweep is skipped (star_ptr comes back
+    as the edge row instead) — the mega launch runs the sweep in the fused
+    VMEM-tiled Pallas kernel (star_pallas) instead."""
     (gene_dc, rbs_wt, ups_comp, type_wt, mot_wt, st_wt_t, no_mot_t,
      uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm) = tables
 
@@ -816,6 +820,10 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     ssc = jnp.where(start, ssc, 0.0)
     cscore = jnp.where(valid != 0, cscore, 0.0)
 
+    if skip_star:
+        return (ndx, stop_val, typ, strand, win_lo, valid,
+                cscore, ssc, rsc, usc, edge, stw[:, 0])
+
     # ---- star pointers, flag=1 (reference: lib.pyx:2279-2329) ------------
     # Replay the global-running-max scan over the candidate windows (the
     # scan's node-index span is bounded; prepare_geometry verified it fits
@@ -957,13 +965,24 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
     bitcast best-score vector (padded rows yield garbage scores the
     caller ignores)."""
     (ndx, stop_val, typ, strand, win_lo, valid,
-     cscore, ssc, rsc, usc, star_ptr, stw) = _score_items(
+     cscore, ssc, rsc, usc, edge, stw) = _score_items(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
-        S3=S3, has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap)
+        S3=S3, has_nonsd=has_nonsd, relk=relk, max_overlap=max_overlap,
+        skip_star=True)
+    # fused VMEM-tiled star sweep + table construction (one HBM pass)
+    from . import star_pallas
+
+    kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
+    kind4 = jnp.where(valid != 0, kind, 4)
+    star_ptr, opv1, val3, t_sv, t_ndx = star_pallas.star_tables_mega(
+        ndx[0:1], stop_val[0:1], kind4[0:1], edge[0:1],
+        cscore + ssc, rsc, usc, stw, relk, max_overlap,
+        interpret=interpret)
     score, traceb, ov, best = dp_pallas._dp_core_mega(
         ndx, stop_val, typ, strand, win_lo, valid,
         cscore + ssc, rsc, usc, star_ptr, stw,
-        NB, interpret, star_span=relk + 4)
+        NB, interpret, star_span=relk + 4,
+        tables=(opv1, val3, t_sv, t_ndx))
     return pack_winners(score, traceb, ov, best, slot_idx, 0, NB, 1)
 
 

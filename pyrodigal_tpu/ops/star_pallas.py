@@ -1,0 +1,218 @@
+"""Fused star-pointer sweep + star-table construction as one Pallas kernel.
+
+The XLA formulation (score_device.py star sweep + dp_pallas gather_near)
+re-streams every (BT, n) operand from HBM on each of its 64 + 73 shift
+iterations — ~4 GB of traffic per Mbp-scale launch, hopelessly HBM-bound.
+Here each n-tile lives in VMEM (halo'd scratch windows assembled from the
+neighboring blocks), and every shift is a dynamic slice of the resident
+window, so the whole pass costs one read + one write of the operands.
+
+Replays exactly:
+* the flag=1 overlapping-start scan (reference: lib.pyx:2279-2329) — a
+  global running max over the candidate window, walked fwd stops first
+  (d = +3 .. 3-relk+1) then rev stops (d = -3 .. relk-3-1), strict `>`
+  so the first-seen candidate wins ties, with per-frame pointers;
+* the derived star tables of dp_pallas (opv1 / val3 / t_sv / t_ndx):
+  per-frame gathered cscore+sscore plus the intergenic modifier, with
+  the sentinel encodings the DP kernels expect.
+
+Halo lanes at the array edges carry neighboring-tile data that does not
+exist; every consumer masks by the candidate's global bounds (the sweep
+by 0 <= j < NT, the gather by sp != -1), so those lanes are never
+selected.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp_pallas import _igm_same, NEG
+
+HALO = 128
+
+
+def _star_kernel(  # noqa: C901
+    ndx_l, sv_l, gm_l, cs_l, rsc_l, usc_l,
+    ndx_c, sv_c, gm_c, cs_c, rsc_c, usc_c,
+    ndx_r, sv_r, gm_r, cs_r, rsc_r, usc_r,
+    stw_ref,
+    sp0_o, sp1_o, sp2_o,
+    opv0_o, opv1_o, opv2_o,
+    v30_o, v31_o, v32_o,
+    tsv0_o, tsv1_o, tsv2_o,
+    tnd0_o, tnd1_o, tnd2_o,
+    w_ndx, w_sv, w_gm, w_cs, w_rsc, w_usc,
+    *, T, B, relk, mo, NT,
+):
+    g = pl.program_id(0)
+
+    for w, al, ac, ar in (
+        (w_ndx, ndx_l, ndx_c, ndx_r), (w_sv, sv_l, sv_c, sv_r),
+        (w_gm, gm_l, gm_c, gm_r), (w_cs, cs_l, cs_c, cs_r),
+        (w_rsc, rsc_l, rsc_c, rsc_r), (w_usc, usc_l, usc_c, usc_r),
+    ):
+        w[:, :HALO] = al[:, T - HALO:]
+        w[:, HALO:HALO + T] = ac[...]
+        w[:, HALO + T:] = ar[:, :HALO]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    iglob = lane + g * T                     # global node index of column
+    stw = stw_ref[:, 0:1]
+
+    def win(w, d):
+        if isinstance(d, int):
+            return w[:, HALO + d:HALO + d + T]
+        return w[:, pl.ds(HALO + d, T)]
+
+    ndx = win(w_ndx, 0)
+    sv = win(w_sv, 0)
+    gm = win(w_gm, 0)
+    kind = gm & 7
+    edgeb = (gm & 8) != 0
+    fwd1 = kind < 2
+    strand = jnp.where(fwd1, 1, -1)
+    fstop = (kind == 1) & ~edgeb
+    rstop = (kind == 3) & ~edgeb
+    rsc_i = win(w_rsc, 0)
+    usc_i = win(w_usc, 0)
+    del sv
+
+    # ---- flag=1 sweep: global running max, fwd stops then rev stops ----
+    runmax = jnp.full((B, T), -100.0, jnp.float32)
+    p0 = jnp.full((B, T), -1, jnp.int32)
+    p1 = jnp.full((B, T), -1, jnp.int32)
+    p2 = jnp.full((B, T), -1, jnp.int32)
+    for t in range(2 * relk):
+        is_f = t < relk
+        k = t if is_f else t - relk
+        d = (3 - k) if is_f else (k - 3)
+        j = iglob + d
+        ndx_j = win(w_ndx, d)
+        kind_j = win(w_gm, d) & 7
+        sc_j = win(w_cs, d)
+        rsc_j = win(w_rsc, d)
+        usc_j = win(w_usc, d)
+        sv_j = win(w_sv, d)
+        val_j = kind_j != 4
+        typj_stop = (kind_j == 1) | (kind_j == 3)
+        strj = jnp.where(kind_j < 2, 1, -1)
+        if is_f:
+            okd = (fstop & (strj == 1) & (ndx_j <= ndx + 2)
+                   & (ndx_j + mo >= ndx) & (sv_j > ndx))
+            igm = _igm_same(ndx, strand, rsc_i, usc_i,
+                            ndx_j, rsc_j, usc_j, stw).astype(jnp.float32)
+        else:
+            okd = (rstop & (strj == -1) & (ndx_j >= ndx - 2)
+                   & (ndx_j - mo <= ndx) & (sv_j < ndx))
+            igm = _igm_same(ndx_j, -1, rsc_j, usc_j,
+                            ndx, rsc_i, usc_i, stw).astype(jnp.float32)
+        ok = (j >= 0) & (j < NT) & val_j & ~typj_stop & okd
+        sc = sc_j + igm
+        upd = ok & (sc > runmax)
+        phj = ndx_j % 3
+        p0 = jnp.where(upd & (phj == 0), j, p0)
+        p1 = jnp.where(upd & (phj == 1), j, p1)
+        p2 = jnp.where(upd & (phj == 2), j, p2)
+        runmax = jnp.where(upd, sc, runmax)
+
+    sp0_o[...] = p0
+    sp1_o[...] = p1
+    sp2_o[...] = p2
+
+    # ---- star tables: banded gather at the recorded pointers ----------
+    span = relk - 2
+    for kk, sp in enumerate((p0, p1, p2)):
+        okm = sp != -1
+        dmat = jnp.where(okm, sp - iglob, span + 1)
+        gn = jnp.zeros((B, T), jnp.int32)
+        gc = jnp.zeros((B, T), jnp.float32)
+        gr = jnp.zeros((B, T), jnp.float32)
+        gu = jnp.zeros((B, T), jnp.float32)
+        gs = jnp.zeros((B, T), jnp.int32)
+        gv = jnp.zeros((B, T), jnp.int32)
+        for d in range(-span, span + 1):
+            m = dmat == d
+            gn = jnp.where(m, win(w_ndx, d), gn)
+            gc = jnp.where(m, win(w_cs, d), gc)
+            gr = jnp.where(m, win(w_rsc, d), gr)
+            gu = jnp.where(m, win(w_usc, d), gu)
+            gs = jnp.where(m, jnp.where((win(w_gm, d) & 7) < 2, 1, -1), gs)
+            gv = jnp.where(m, win(w_sv, d), gv)
+        opv = jnp.where(okm, gc + _igm_same(
+            ndx, strand, rsc_i, usc_i, gn, gr, gu, stw
+        ).astype(jnp.float32), NEG)
+        v3 = jnp.where(okm, gc + _igm_same(
+            gn, gs, gr, gu, ndx, rsc_i, usc_i, stw
+        ).astype(jnp.float32), NEG)
+        tsv = jnp.where(okm, gv, -(10 ** 9))
+        tnd = jnp.where(okm, gn, 0)
+        (opv0_o, opv1_o, opv2_o)[kk][...] = opv
+        (v30_o, v31_o, v32_o)[kk][...] = v3
+        (tsv0_o, tsv1_o, tsv2_o)[kk][...] = tsv
+        (tnd0_o, tnd1_o, tnd2_o)[kk][...] = tnd
+
+
+def star_tables_mega(ndx, stop_val, kind4, edge, cs, rsc, usc, st_wt,
+                     relk, max_overlap, interpret=False, TILE=512):
+    """One-geometry (mega) star sweep + tables.
+
+    ndx/stop_val/kind4/edge: (1, NT) geometry rows; cs (= cscore+sscore),
+    rsc, usc: (B, NT) per-bin scores; st_wt: (B,).  Returns
+    (star_ptr (3, B, NT) int32, opv1[3], val3[3], t_sv[3], t_ndx[3])
+    matching score_device's sweep + dp_pallas's gather tables exactly.
+    """
+    B, NT = cs.shape
+    n_tiles = NT // TILE
+    gmeta = kind4 | jnp.where(edge != 0, 8, 0)
+    arrays = (ndx, stop_val, gmeta, cs, rsc, usc)
+    kernel = functools.partial(_star_kernel, T=TILE, B=B, relk=relk,
+                               mo=max_overlap, NT=NT)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, NT), jnp.int32)] * 3
+        + [jax.ShapeDtypeStruct((B, NT), jnp.float32)] * 6
+        + [jax.ShapeDtypeStruct((B, NT), jnp.int32)] * 6
+    )
+
+    def spec(a, which):
+        rows = a.shape[0]
+        if which == "l":
+            imap = lambda g: (0, jnp.maximum(g - 1, 0))
+        elif which == "r":
+            imap = lambda g: (0, jnp.minimum(g + 1, n_tiles - 1))
+        else:
+            imap = lambda g: (0, g)
+        return pl.BlockSpec((rows, TILE), imap, memory_space=pltpu.VMEM)
+
+    in_specs = ([spec(a, "l") for a in arrays]
+                + [spec(a, "c") for a in arrays]
+                + [spec(a, "r") for a in arrays]
+                + [pl.BlockSpec((B, 128), lambda g: (0, 0),
+                                memory_space=pltpu.VMEM)])
+    W = TILE + 2 * HALO
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((B, TILE), lambda g: (0, g),
+                         memory_space=pltpu.VMEM)
+            for _ in out_shapes
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),     # w_ndx
+            pltpu.VMEM((1, W), jnp.int32),     # w_sv
+            pltpu.VMEM((1, W), jnp.int32),     # w_gm
+            pltpu.VMEM((B, W), jnp.float32),   # w_cs
+            pltpu.VMEM((B, W), jnp.float32),   # w_rsc
+            pltpu.VMEM((B, W), jnp.float32),   # w_usc
+        ],
+        interpret=interpret,
+    )(*arrays, *arrays, *arrays,
+      jnp.broadcast_to(st_wt[:, None], (B, 128)))
+    sp = jnp.stack(outs[0:3])
+    return (sp, list(outs[3:6]), list(outs[6:9]), list(outs[9:12]),
+            list(outs[12:15]))
