@@ -106,12 +106,34 @@ class BinTables:
         sd_ex, sd_mm = _sd_luts()
         self.sd_ex = jnp.asarray(sd_ex)
         self.sd_mm = jnp.asarray(sd_mm)
+        # per-bin SD winner tables: wi[bin, p, code] = the index the SD
+        # scanner at window position p returns for 6-mer `code` under this
+        # bin's weights (per-position lex argmax by (weight, index); the
+        # cross-position reduction downstream is a plain index max).
+        # Rows are pre-flipped to window-position order (row p = distance
+        # 20-p), and ex (rows 0-14) / mm (rows 15-29) are stacked so one
+        # table row gather serves both scanners.
+        wi = np.zeros((nb, 30, 4096), np.float32)
+        for which, masks in enumerate((sd_ex, sd_mm)):
+            mm2 = masks.reshape(15, 4096)[::-1]          # row p = 14-p
+            for k in range(nb):
+                wt = rbs_wt[k]                           # float32
+                best = np.zeros(mm2.shape, np.int32)
+                bw = np.full(mm2.shape, wt[0], np.float32)
+                for v in range(1, 28):
+                    bit = (mm2 >> v) & 1
+                    upd = (bit != 0) & ((wt[v] > bw)
+                                        | ((wt[v] == bw) & (v > best)))
+                    bw = np.where(upd, wt[v], bw)
+                    best = np.where(upd, v, best)
+                wi[k, which * 15:which * 15 + 15] = best
+        self.sd_wi = jnp.asarray(wi)
 
     def as_tuple(self):
         return (self.gene_dc, self.rbs_wt, self.ups_comp, self.type_wt,
                 self.mot_wt, self.st_wt, self.no_mot, self.uses_sd,
                 self.log_no_stop, self.lfac_min, self.lfac_max,
-                self.sd_ex, self.sd_mm)
+                self.sd_ex, self.sd_mm, self.sd_wi)
 
 
 # --------------------------------------------------------------------------
@@ -294,26 +316,6 @@ def _row_lookup_small(rows, idx, K):
 
     return jax.lax.fori_loop(
         1, K, body, jnp.broadcast_to(rows[:, 0:1], idx.shape))
-
-
-def _rbs_winner(masks, rbs_row):
-    """Replay the SD scorers' lexicographic argmax under each bin's rbs_wt
-    (reference: lib.pyx:884-887 tie rules): per window position the best
-    index by (weight, index); then the max index over positions
-    (reference: lib.pyx:2262-2274)."""
-
-    def body(v, carry):
-        bw, bi = carry
-        bit = (masks >> v) & 1
-        wv = jax.lax.dynamic_slice_in_dim(rbs_row, v, 1, axis=1)[:, :, None]
-        upd = (bit != 0) & (wv >= bw)
-        return jnp.where(upd, wv, bw), jnp.where(upd, v, bi)
-
-    bw0 = jnp.broadcast_to(rbs_row[:, 0][:, None, None], masks.shape
-                           ).astype(rbs_row.dtype)
-    bi0 = jnp.zeros(masks.shape, jnp.int32)
-    _, bi = jax.lax.fori_loop(1, 28, body, (bw0, bi0))
-    return jnp.max(bi, axis=2)
 
 
 def _gat(a, idx):
@@ -524,27 +526,16 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
         Wf = _window_gather(m6wf, w_ndx - 48, 51).astype(jnp.int32)
         Wr = _window_gather(m6wr, w_ndx + 1, 48).astype(jnp.int32)
 
-    # SD candidate masks over the 15 window positions: position p reads
+    # SD candidate codes over the 15 window positions: position p reads
     # the 6-mer at ndx-20+p (fwd; window lane 28+p) / ndx+20-p (rev;
-    # lane 19-p).
+    # lane 19-p).  The per-bin winner tables (BinTables.sd_wi) are looked
+    # up per position in _score_items; here only the geometry-shared
+    # codes and validity are derived.
     p = jnp.arange(15)[None, None, :]
     idx = jnp.where(fwd, nd - 20 + p, nd + 20 - p)
     ok = (idx >= 0) & is_start & not_edge
     code = jnp.where(fwd, Wf[:, :, 28:43], Wr[:, :, 5:20][:, :, ::-1])
-    # the candidate-set LUTs hold 28-bit masks: look up the two 14-bit
-    # halves exactly through the f32 one-hot contraction, recombine in i32
-    sd_ex_t = jnp.flip(sd_ex.reshape(15, 4096), axis=0)   # row p = (14-p)
-    sd_mm_t = jnp.flip(sd_mm.reshape(15, 4096), axis=0)
-    code_t = code.transpose(2, 0, 1).reshape(15, G * n)
-
-    def lut15(T):
-        lo = _lookup64((T & 0x3FFF).astype(F32), code_t)
-        hi = _lookup64((T >> 14).astype(F32), code_t)
-        v = lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 14)
-        return v.reshape(15, G, n).transpose(1, 2, 0)
-
-    rbs_ex = jnp.where(ok, lut15(sd_ex_t), 0)
-    rbs_mm = jnp.where(ok, lut15(sd_mm_t), 0)
+    del sd_ex, sd_mm
 
     # upstream-composition mers: slots 0-1 = -1,-2; 2-31 = -15..-44
     # (fwd lane 48-k of Wf; rev lane k-1 of Wr)
@@ -578,7 +569,7 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
             + jnp.asarray(_MOT_SP)[None, None, :] * 4096 + mmer,
             -1)
 
-    return rbs_ex, rbs_mm, ups_flat, uok, mot
+    return code, ok, ups_flat, uok, mot
 
 
 def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
@@ -590,7 +581,8 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     as the edge row instead) — the mega launch runs the sweep in the fused
     VMEM-tiled Pallas kernel (star_pallas) instead."""
     (gene_dc, rbs_wt, ups_comp, type_wt, mot_wt, st_wt_t, no_mot_t,
-     uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm) = tables
+     uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm,
+     sd_wi) = tables
 
     n32 = jnp.take(geo["n32"], gidx, axis=1)           # (3, BT, n)
     ndx, stop_val, win_lo = (n32[k] for k in range(3))
@@ -599,7 +591,7 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     BT, n = ndx.shape
 
     m6f, m6r = _derive_m6(geo)
-    g_rbs_ex, g_rbs_mm, g_ups_flat, g_uok, g_mot = _derive_candidates(
+    g_code, g_ok, g_ups_flat, g_uok, g_mot = _derive_candidates(
         geo, m6f, m6r, sd_ex, sd_mm, has_nonsd)
 
     stw = st_wt_t[bin_idx][:, None]                    # (BT, 1)
@@ -693,9 +685,24 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     cscore = jnp.where(start, cfix + lfac, cscore)
 
     # ---- RBS / SD score ---------------------------------------------------
+    # Per window position, gather the per-bin winner index from the
+    # precomputed (30, 4096) tables (BinTables.sd_wi) and take the index
+    # max over positions — the reference's per-position running-max +
+    # cross-position index-max rule (lib.pyx:2241-2277) without the
+    # 27-step weight sweep over (BT, n, 15) masks.
     rbs_row = rbs_wt[bin_idx]                          # (BT, 28)
-    rbs0 = _rbs_winner(jnp.take(g_rbs_ex, gidx, axis=0), rbs_row)
-    rbs1 = _rbs_winner(jnp.take(g_rbs_mm, gidx, axis=0), rbs_row)
+    wi_row = sd_wi[bin_idx]                            # (BT, 30, 4096)
+    code_g = jnp.take(g_code, gidx, axis=0)            # (BT, n, 15)
+    ok_g = jnp.take(g_ok, gidx, axis=0)
+    rbs0 = jnp.zeros((BT, n), jnp.int32)
+    rbs1 = jnp.zeros((BT, n), jnp.int32)
+    for p in range(15):
+        cp = code_g[:, :, p]
+        okp = ok_g[:, :, p]
+        w0p = _lookup64(wi_row[:, p], cp).astype(jnp.int32)
+        w1p = _lookup64(wi_row[:, 15 + p], cp).astype(jnp.int32)
+        rbs0 = jnp.maximum(rbs0, jnp.where(okp, w0p, 0))
+        rbs1 = jnp.maximum(rbs1, jnp.where(okp, w1p, 0))
     w0 = _row_lookup_small(rbs_row, rbs0, 28)
     w1 = _row_lookup_small(rbs_row, rbs1, 28)
     sd_score = jnp.maximum(w0, w1) * stw

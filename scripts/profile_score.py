@@ -36,7 +36,7 @@ bi = jnp.asarray(bin_idx)
 gi = jnp.asarray(np.zeros(BT, np.int32))
 tab = runner.tables.as_tuple()
 (gene_dc, rbs_wt, ups_comp, type_wt, mot_wt, st_wt_t, no_mot_t,
- uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm) = tab
+ uses_sd_t, log_ns_t, lfmin_t, lfmax_t, sd_ex, sd_mm, sd_wi) = tab
 
 
 def t(label, fn, n=3):
@@ -61,19 +61,12 @@ m6f, m6r = t("derive_m6", lambda: f_m6(geo))
 def f_cands(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     return sd._derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd)
 
-cands = t("derive_candidates (windows+luts)",
+cands = t("derive_candidates (windows)",
           lambda: f_cands(geo, m6f, m6r, sd_ex, sd_mm, True))
-g_rbs_ex, g_rbs_mm, g_ups_flat, g_uok, g_mot = [
+_g_code, _g_ok, g_ups_flat, g_uok, g_mot = [
     jnp.asarray(np.asarray(x)) if x is not None else None for x in cands]
 
 
-@jax.jit
-def f_rbs(masks, rbs_row):
-    return sd._rbs_winner(masks, rbs_row)
-
-rbs_row = rbs_wt[bi]
-mex = jnp.take(g_rbs_ex, gi, axis=0)
-t("rbs_winner x1", lambda: f_rbs(mex, rbs_row))
 
 
 @jax.jit
