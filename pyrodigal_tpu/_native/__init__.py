@@ -156,6 +156,9 @@ _lib.rc_calc_dicodon_gene.argtypes = [
 _lib.rc_calc_dicodon_gene_bg.argtypes = [
     ctypes.c_void_p, c_u8p, ctypes.c_int, _NP, ctypes.c_int,
     ctypes.POINTER(ctypes.c_int64)]
+_lib.rc_dicodon_finalize.argtypes = [
+    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ctypes.POINTER(ctypes.c_int64)]
 _lib.rc_train_starts_sd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_train_starts_nonsd.argtypes = [c_u8p, ctypes.c_int, _NP, ctypes.c_void_p]
 _lib.rc_determine_sd_usage.argtypes = [ctypes.c_void_p]

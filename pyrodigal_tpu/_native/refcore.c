@@ -1833,6 +1833,32 @@ void rc_record_gc_bias(const int8_t *gp, int slen, nodes_t *nd, training_t *tinf
  * trainer psum-merges these over a device mesh (parallel/train.py); the
  * counts are bit-identical to the scalar scan below, so the resulting
  * gene_dc is too. */
+/* log-ratio finalization shared by the host walk and the mesh-sharded
+ * device tallies (parallel/train.py): gene_dc from raw background + gene
+ * hexamer counts, exactly as the tail of calc_dicodon_gene
+ * (reference: lib.pyx:4340-4358). */
+void rc_dicodon_finalize(training_t *tinf, const int64_t *bg_counts,
+                         const int64_t *gene_counts) {
+    int i;
+    int64_t glob, gglob;
+    double prob, bg[4096];
+
+    glob = 0;
+    for (i = 0; i < 4096; i++) glob += bg_counts[i];
+    for (i = 0; i < 4096; i++)
+        bg[i] = ((double)bg_counts[i]) / ((double)glob);
+    gglob = 0;
+    for (i = 0; i < 4096; i++) gglob += gene_counts[i];
+    for (i = 0; i < 4096; i++) {
+        prob = ((double)gene_counts[i]) / ((double)gglob);
+        if (prob == 0 && bg[i] != 0) tinf->gene_dc[i] = -5.0;
+        else if (bg[i] == 0) tinf->gene_dc[i] = 0.0;
+        else tinf->gene_dc[i] = log(prob / bg[i]);
+        if (tinf->gene_dc[i] > 5.0) tinf->gene_dc[i] = 5.0;
+        else if (tinf->gene_dc[i] < -5.0) tinf->gene_dc[i] = -5.0;
+    }
+}
+
 void rc_calc_dicodon_gene_bg(training_t *tinf, const uint8_t *d, int slen,
                              nodes_t *nd, int ipath,
                              const int64_t *bg_counts) {

@@ -449,15 +449,9 @@ class TpuMetaRunner:
                     self._produce_winner, contigs[ci], num_seq_start + ci,
                     cands, nodes_maps[ci])
 
-        for L in launches:
-            bests = np.asarray(L["dev"]).view(np.float32)
-            cands_by_contig = {}
-            for k, (ci, b, _g) in enumerate(L["work"]):
-                cands_by_contig.setdefault(ci, []).append(
-                    (b, float(bests[k])))
-            for ci in L["slots"]:
-                submit(ci, cands_by_contig.get(ci, []))
-
+        # mega launches were dispatched first (during prep) — pull them
+        # first so the big contigs' host finishing starts while the device
+        # still runs the std launches
         for ci, entries in mega_launches:
             cands = []
             for e in entries:
@@ -466,5 +460,14 @@ class TpuMetaRunner:
                 cands.extend(
                     (b, float(bests[k])) for k, b in enumerate(e["rows"]))
             submit(ci, cands)
+
+        for L in launches:
+            bests = np.asarray(L["dev"]).view(np.float32)
+            cands_by_contig = {}
+            for k, (ci, b, _g) in enumerate(L["work"]):
+                cands_by_contig.setdefault(ci, []).append(
+                    (b, float(bests[k])))
+            for ci in L["slots"]:
+                submit(ci, cands_by_contig.get(ci, []))
 
         return [futures[ci].result() for ci in range(len(contigs))]

@@ -160,3 +160,30 @@ def test_train_distributed_bit_equal(data):
     mesh = make_mesh()
     tinf = train_distributed(mesh, rec.seq)
     assert bytes(tinf.raw) == bytes(ref.raw)
+
+
+def test_train_distributed_contig_sharded(data):
+    """A multi-contig training set sharded over the mesh (each contig's
+    background AND gene hexamer tallies on its owning device, psum-merged)
+    must reproduce the joined-sequence `GeneFinder.train` byte-for-byte
+    (reference joining: lib.pyx:5536-5543)."""
+    import warnings
+
+    from pyrodigal_tpu import GeneFinder
+    from pyrodigal_tpu.fasta import parse
+    from pyrodigal_tpu.parallel import make_mesh, train_distributed
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq
+    # a 5-contig training set (uneven sizes, more contigs than some mesh
+    # axes, one tiny contig)
+    cuts = [0, 11000, 30011, 30500, 61000, len(seq)]
+    contigs = [seq[cuts[k]:cuts[k + 1]] for k in range(5)]
+
+    p = GeneFinder(backend="refcore")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = p.train(*contigs)
+
+    mesh = make_mesh()
+    tinf = train_distributed(mesh, *contigs)
+    assert bytes(tinf.raw) == bytes(ref.raw)
