@@ -459,30 +459,18 @@ class Genes:
             f"transl_table={tinf.translation_table};"
             f"uses_sd={int(tinf.uses_sd)}\n"
         )
+        source = f"pyrodigal_tpu{version_separator}{version}"
+        tt_attr = (f"transl_table={tinf.translation_table};"
+                   if include_translation_table else "")
         for gene in self:
-            n += file.write(sequence_id)
-            n += file.write("\t")
-            n += file.write("pyrodigal_tpu")
-            n += file.write(version_separator)
-            n += file.write(version)
-            n += file.write("\tCDS\t")
-            n += file.write(str(gene.begin))
-            n += file.write("\t")
-            n += file.write(str(gene.end))
-            n += file.write("\t")
-            n += file.write("{:.1f}".format(gene.sscore + gene.cscore))
-            n += file.write("\t")
-            n += file.write("+" if gene.strand > 0 else "-")
-            n += file.write("\t0\t")
-            if full_id:
-                n += file.write(gene._gene_data(sequence_id))
-            else:
-                n += file.write(gene._gene_data(self._num_seq))
-            n += file.write(";")
-            if include_translation_table:
-                n += file.write("transl_table={};".format(tinf.translation_table))
-            n += file.write(gene._score_data())
-            n += file.write("\n")
+            ident = gene._gene_data(sequence_id if full_id
+                                    else self._num_seq)
+            n += file.write(
+                f"{sequence_id}\t{source}\tCDS\t{gene.begin}\t{gene.end}"
+                f"\t{gene.sscore + gene.cscore:.1f}"
+                f"\t{'+' if gene.strand > 0 else '-'}\t0"
+                f"\t{ident};{tt_attr}{gene._score_data()}\n"
+            )
         return n
 
     def write_genes(self, file, sequence_id, width=70, full_id=False):
@@ -546,48 +534,49 @@ class Genes:
                 f"Expected datetime.date, found {type(date).__name__}"
             )
 
-        n += file.write("LOCUS       {:<23} ".format(sequence_id))
-        n += file.write("{} bp    ".format(len(self.sequence)))
-        n += file.write("DNA     linear   {} ".format(division))
-        n += file.write(date.strftime("%d-%b-%y").upper())
-        n += file.write("\n")
-        n += file.write("REFERENCE   1  (bases 1 to {})\n".format(len(self.sequence)))
-        n += file.write("  TITLE     Prodigal: prokaryotic gene recognition and translation initiation\n")
-        n += file.write("            site identification (Hyatt et al., 2010)\n")
-        n += file.write("  JOURNAL   BMC Bioinformatics. 2010;11:119.\n")
-        n += file.write("   PUBMED   20211023\n")
-        n += file.write("FEATURES             Location/Qualifiers\n")
+        slen = len(self.sequence)
+        stamp = date.strftime("%d-%b-%y").upper()
+        n += file.write(
+            f"LOCUS       {sequence_id:<23} {slen} bp    "
+            f"DNA     linear   {division} {stamp}\n"
+            f"REFERENCE   1  (bases 1 to {slen})\n"
+            "  TITLE     Prodigal: prokaryotic gene recognition and"
+            " translation initiation\n"
+            "            site identification (Hyatt et al., 2010)\n"
+            "  JOURNAL   BMC Bioinformatics. 2010;11:119.\n"
+            "   PUBMED   20211023\n"
+            "FEATURES             Location/Qualifiers\n"
+        )
+        pad = " " * 21
         for i, gene in enumerate(self):
-            begin = f"<{gene.begin}" if gene.start_node.edge else f"{gene.begin}"
-            end = f">{gene.end}" if gene.stop_node.edge else f"{gene.end}"
-            if gene.strand == 1:
-                n += file.write("     CDS             {}..{}\n".format(begin, end))
-            else:
-                n += file.write("     CDS             complement({}..{})\n".format(begin, end))
-            n += file.write("{:21}/codon_start=1\n".format(""))
-            n += file.write("{:21}/inference=\"ab initio prediction:pyrodigal_tpu:{}\"\n".format("", version))
-            n += file.write("{:21}/locus_tag=\"{}_{}\"\n".format("", sequence_id, i + 1))
-            n += file.write("{:21}/transl_table={}\n".format("", translation_table))
-            translation = "/translation=\"{}\"".format(
-                gene.translate(
-                    translation_table=translation_table,
-                    include_stop=False,
-                    strict=strict_translation,
-                )
+            begin = f"<{gene.begin}" if gene.start_node.edge else str(gene.begin)
+            end = f">{gene.end}" if gene.stop_node.edge else str(gene.end)
+            span = (f"{begin}..{end}" if gene.strand == 1
+                    else f"complement({begin}..{end})")
+            record = [
+                f"     CDS             {span}",
+                f"{pad}/codon_start=1",
+                f'{pad}/inference="ab initio prediction:'
+                f'pyrodigal_tpu:{version}"',
+                f'{pad}/locus_tag="{sequence_id}_{i + 1}"',
+                f"{pad}/transl_table={translation_table}",
+            ]
+            trans = gene.translate(
+                translation_table=translation_table,
+                include_stop=False,
+                strict=strict_translation,
             )
-            for block in textwrap.wrap(translation, 59):
-                n += file.write(" " * 21)
-                n += file.write(block)
-                n += file.write("\n")
+            record += [pad + block
+                       for block in textwrap.wrap(f'/translation="{trans}"',
+                                                  59)]
+            n += file.write("\n".join(record) + "\n")
         seq = str(self.sequence).lower()
-        n += file.write("ORIGIN\n")
-        for i in range(0, len(seq), 60):
-            n += file.write("{:>9}".format(i + 1))
-            for j in range(i, min(i + 60, len(seq)), 10):
-                n += file.write(" ")
-                n += file.write(seq[j:j + 10])
-            n += file.write("\n")
-        n += file.write("//\n")
+        origin = ["ORIGIN"]
+        for i in range(0, slen, 60):
+            blocks = " ".join(seq[j:j + 10]
+                              for j in range(i, min(i + 60, slen), 10))
+            origin.append(f"{i + 1:>9} {blocks}")
+        n += file.write("\n".join(origin) + "\n//\n")
         return n
 
     def write_scores(self, file, sequence_id, header=True):
