@@ -477,7 +477,7 @@ def _dp_kernel_mega(  # noqa: C901
     b_opv0, b_opv1, b_opv2,
     b_score, b_tb, b_tbndx, b_ov,
     r_val, r_idx, r_ndx, r_sv,
-    *, W, TILE, PREF, B, MAX_CHUNKS,
+    *, W, TILE, PREF, B, MAX_CHUNKS, fxs,
 ):
     """Every row of a mega launch is a BIN over the SAME geometry, which
     buys two specializations over `_dp_kernel_b`: the per-i node metadata
@@ -602,7 +602,7 @@ def _dp_kernel_mega(  # noqa: C901
                 jnp.where(take2, f2, f1), jnp.where(take2, n2, n1))
 
     def quant(x):
-        return jnp.round(x * FXS).astype(jnp.int32)
+        return jnp.round(x * fxs).astype(jnp.int32)
 
     def body(i, carry):
         ip = i + PREF                  # scratch coordinate
@@ -652,7 +652,7 @@ def _dp_kernel_mega(  # noqa: C901
                 lane = jnp.broadcast_to(lane1, (B, WP))
                 n1_ndx_b = jnp.broadcast_to(n1_ndx, (B, WP))
                 ok_cand = cand > jnp.float32(NEGF / 2)
-                candq = jnp.round(jnp.where(ok_cand, cand, 0.0) * FXS
+                candq = jnp.round(jnp.where(ok_cand, cand, 0.0) * fxs
                                   ).astype(jnp.int32)
                 total = jnp.where(ok_cand, n1_score + candq, INT_NEG)
                 cmax = jnp.max(total, axis=1, keepdims=True)
@@ -918,12 +918,12 @@ def _dp_kernel_mega(  # noqa: C901
 
 
 def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
-                     interpret=False):
+                     fxs, interpret=False):
     """Node-axis-gridded launch for one long contig: operands are (B, NT)
     streamed tile-by-tile; 13 VMEM scratch buffers carry the trailing
     PREF-node window of geometry + DP state across grid steps."""
     kernel = functools.partial(_dp_kernel_mega, W=W, TILE=TILE, PREF=PREF,
-                               B=B, MAX_CHUNKS=MAX_CHUNKS)
+                               B=B, MAX_CHUNKS=MAX_CHUNKS, fxs=fxs)
     out_shapes = [
         jax.ShapeDtypeStruct((B, NT), jnp.int32),   # score, fixed point
         jax.ShapeDtypeStruct((B, NT), jnp.int32),
@@ -985,7 +985,7 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
 
 def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
                   sp, st_wt, NT, interpret=False, star_span=None,
-                  tables=None):
+                  tables=None, fxs=FXS):
     """`_dp_core` for one long contig: same derived star tables, then the
     node-axis-gridded kernel.  All arrays are (B, NT) with the real nodes
     in the first `nn` columns; traceback values come back as global node
@@ -1045,8 +1045,8 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     )
     score_fx, traceb, ov, _ = _run_kernel_mega(
         args, nn, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,
-        MEGA_CHUNKS, interpret)
-    score = score_fx.astype(jnp.float32) * (1.0 / FXS)
+        MEGA_CHUNKS, fxs, interpret)
+    score = score_fx.astype(jnp.float32) * (1.0 / fxs)
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))
     best = jnp.max(jnp.where(terminal, score, -1.0), axis=1)
     return score, traceb, ov, best

@@ -76,13 +76,18 @@ class TpuMetaRunner:
     # mega-route static buckets: node count (multiples of the kernel TILE)
     # and sequence length (multiples of 196608 = lcm(384, 65536)); finer
     # steps cost one cached compile each but trim padded-node compute.
-    # The ceiling (~8.65 Mbp / 576k nodes) keeps absolute path scores
-    # within the int32 fixed-point range (dp_pallas.FXS); contigs beyond
-    # it take the exact C engine.
+    # Up to ~8.65 Mbp the DP runs at FXS=2048 fixed point (absolute path
+    # scores < 2^31/2048 = 1.05e6); larger contigs — through 17.3 Mbp,
+    # beyond the largest known bacterial genomes — halve the scale to
+    # FXS=1024 (score range 2.1e6, quantization still ~1e-3, well inside
+    # the winner-arbitration margin).  Only contigs beyond that take the
+    # exact C engine.
     MEGA_NT = (16384, 32768, 65536, 98304, 131072, 163840, 196608,
-               262144, 327680, 393216, 458752, 589824)
+               262144, 327680, 393216, 458752, 589824, 786432, 1048576)
     MEGA_SB = (393216, 786432, 1179648, 1572864, 1966080, 2359296,
-               2555904, 3145728, 4718592, 6291456, 7864320, 8650752)
+               2555904, 3145728, 4718592, 6291456, 7864320, 8650752,
+               10616832, 13172736, 17301504)
+    MEGA_FXS_LIMIT = 8650752        # FXS=2048 below, 1024 above
     MEGA_SW = 131072        # per-2048-node-tile sequence span bound
 
     @staticmethod
@@ -249,12 +254,15 @@ class TpuMetaRunner:
             geo["c_slen"] = jnp.asarray(
                 np.array([g["c_len"]], np.int32))
         nonsd = bool((self.tables.uses_sd_np[list(bin_rows)] == 0).any())
+        fxs = dp_pallas.FXS if g["slen"] <= self.MEGA_FXS_LIMIT \
+            else dp_pallas.FXS // 2
         dev = sd.score_dp_launch_mega(
             self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
             jnp.asarray(np.zeros(BT, np.int32)), jnp.asarray(slot_idx),
             is_meta=self.is_meta, closed=self.closed, S3=SB // 3,
             has_nonsd=nonsd, relk=self.relk,
-            max_overlap=self.max_overlap, NB=NT, interpret=self.interpret)
+            max_overlap=self.max_overlap, NB=NT, fxs=fxs,
+            interpret=self.interpret)
         return dev, NT
 
     # -- finishing (host, exact C on the winning bin) -------------------------

@@ -605,29 +605,37 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
     # ---- cscore pass 1: hexamer sums as phase-wise prefix differences ----
     dcrow = gene_dc[bin_idx]                           # (BT, 4096)
-    m6 = jnp.stack([m6f, m6r])
-    m6 = jnp.take(m6, gidx, axis=1)                    # (2, BT, S)
-    dcf = _lookup64(dcrow, m6[0])
-    dcr = _lookup64(dcrow, m6[1])
+    if m6f.shape[0] == 1:
+        # shared geometry (mega): broadcast the single code row instead
+        # of materializing (2, BT, S) duplicated copies (~1.7 GB on a
+        # 13 Mbp contig)
+        m6_f = jnp.broadcast_to(m6f, (BT, m6f.shape[1]))
+        m6_r = jnp.broadcast_to(m6r, (BT, m6r.shape[1]))
+    else:
+        m6 = jnp.take(jnp.stack([m6f, m6r]), gidx, axis=1)  # (2, BT, S)
+        m6_f, m6_r = m6[0], m6[1]
+    dcf = _lookup64(dcrow, m6_f)
+    dcr = _lookup64(dcrow, m6_r)
     S = dcf.shape[1]
     Cf = jnp.cumsum(dcf.reshape(BT, S3, 3), axis=1).reshape(BT, S)
     Cr = jnp.cumsum(dcr.reshape(BT, S3, 3), axis=1).reshape(BT, S)
 
     if n > 16384:
         # mega route: every row shares the single geometry, so the four
-        # prefix reads collapse to TWO row-gathers from one (S, 2*BT)
-        # table — Cf shifted down 3 rows beside Cr, so position p yields
-        # (Cf[p-3], Cr[p]); contiguous row DMA ~6x faster than
-        # per-element gathers.  The Cf side's first 3 rows are zeros,
-        # which is fine: every Cf[p-3] use is masked where p-3 < 0.
-        CfT = jnp.pad(Cf.T[:S - 3], ((3, 0), (0, 0)))
-        CT = jnp.concatenate([CfT, Cr.T], axis=1)         # (S, 2BT)
+        # prefix reads collapse to per-position ROW gathers (contiguous
+        # row DMA, ~6x faster than per-element gathers).  The forward
+        # side reads Cf[p-3] (clamped; every p-3 < 0 use is masked by
+        # the caller), the reverse side Cr[p].  Gathering from the two
+        # (S, BT) transposes separately keeps the peak footprint ~2.5 GB
+        # lower than a fused (S, 2BT) table on Mbp-scale contigs.
+        CfT = Cf.T
+        CrT = Cr.T
 
         def duo(p):
-            """(Cf[p-3], Cr[p]) rows for identical-row positions p."""
-            j0 = jnp.clip(p[0], 0, S - 1)
-            v = jnp.take(CT, j0, axis=0)                  # (n, 2BT)
-            return v[:, :BT].T, v[:, BT:].T
+            j0 = p[0]
+            f = jnp.take(CfT, jnp.clip(j0 - 3, 0, S - 1), axis=0)
+            r = jnp.take(CrT, jnp.clip(j0, 0, S - 1), axis=0)
+            return f.T, r.T
 
         f_ndx, r_ndx = duo(ndx)
         f_sv, r_sv = duo(stop_val)
@@ -753,12 +761,16 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
                                             keepdims=False)
         okk = jax.lax.dynamic_index_in_dim(g_uok, k, axis=2,
                                            keepdims=True)
-        oh = jax.nn.one_hot(code, 128, dtype=F32)
-        return counts + jnp.where(okk, oh, 0.0)
+        # bfloat16 accumulator on purpose: per-cell counts are <= 32,
+        # exactly representable, and the (G, n, 128) buffer is the
+        # scoring pipeline's biggest single tensor on Mbp contigs
+        oh = jax.nn.one_hot(code, 128, dtype=jnp.bfloat16)
+        return counts + jnp.where(okk, oh, jnp.bfloat16(0))
 
     counts = jax.lax.fori_loop(
-        0, 32, ups_body, jnp.zeros(g_ups_flat.shape[:2] + (128,), F32))
-    u_all = jnp.einsum("gnc,Bc->gBn", counts, ups_comp,
+        0, 32, ups_body,
+        jnp.zeros(g_ups_flat.shape[:2] + (128,), jnp.bfloat16))
+    u_all = jnp.einsum("gnc,Bc->gBn", counts.astype(F32), ups_comp,
                        precision=jax.lax.Precision.HIGHEST)
     u_base = jnp.take(u_all.reshape(G * NBINS, n),
                       gidx * NBINS + bin_idx, axis=0) * (0.4 * stw)
@@ -960,10 +972,10 @@ def score_dp_launch_packed(tables, geo, bin_idx, gidx, slot_idx, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "is_meta", "closed", "S3", "has_nonsd", "relk", "max_overlap", "NB",
-    "interpret"))
+    "fxs", "interpret"))
 def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
                          closed, S3, has_nonsd, relk, max_overlap, NB,
-                         interpret=False):
+                         fxs=dp_pallas.FXS, interpret=False):
     """One Mbp-scale contig, all candidate bins as rows: fused on-device
     scoring + the node-axis-gridded mega DP kernel + winner packing.
 
@@ -989,7 +1001,7 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
         ndx, stop_val, typ, strand, win_lo, valid,
         cscore + ssc, rsc, usc, star_ptr, stw,
         NB, interpret, star_span=relk + 4,
-        tables=(opv1, val3, t_sv, t_ndx))
+        tables=(opv1, val3, t_sv, t_ndx), fxs=fxs)
     return pack_winners(score, traceb, ov, best, slot_idx, 0, NB, 1)
 
 

@@ -300,3 +300,27 @@ def test_many_tiny_contigs_batch(data):
         assert [(g.begin, g.end, g.strand) for g in b] == \
             [(g.begin, g.end, g.strand) for g in a]
         assert b._num_seq == i + 1
+
+
+@needs_bins
+def test_mega_route_fxs_rescale(data):
+    """Contigs past MEGA_FXS_LIMIT run the mega DP at half fixed-point
+    scale (FXS=1024) to double the score range (the >13 Mbp ceiling);
+    forcing that scale on a small contig must still reproduce the exact
+    C path gene-for-gene."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    seq = list(parse(data("SRR492066.fna.gz")))[0].seq[:30000]
+    p = GeneFinder(meta=True, backend="refcore")
+    a = p.find_genes(seq)
+
+    class _HalfFXS(TpuMetaRunner):
+        MEGA_FXS_LIMIT = 1          # every mega contig takes FXS=1024
+
+    runner = _HalfFXS(METAGENOMIC_BINS, seq_bucket=2048, interpret=True)
+    b = runner.find_genes_batch([seq])[0]
+    assert b.metagenomic_bin.description == a.metagenomic_bin.description
+    assert [(g.begin, g.end, g.strand) for g in b] == \
+        [(g.begin, g.end, g.strand) for g in a]
+    assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
