@@ -542,7 +542,8 @@ def _dp_kernel_mega(  # noqa: C901
         r_val[...] = jnp.full((B, 128), INT_NEG, jnp.int32)
         r_idx[...] = jnp.full((B, 128), -1, jnp.int32)
         r_ndx[...] = jnp.zeros((B, 128), jnp.int32)
-        r_sv[...] = jnp.full((1, 128), -(10 ** 9), jnp.int32)
+        for _k in range(3):
+            r_sv[6 + _k] = -(10 ** 9)
 
     @pl.when(t != 0)
     def _shift():
@@ -585,13 +586,9 @@ def _dp_kernel_mega(  # noqa: C901
     st_wt = stwt_ref[:, 0:1]
     igm_diff = jnp.float32(-0.15) * st_wt
 
-    def regcol(ref, k):
-        """(B,) column k (traced scalar lane) of a (B, 128) register."""
-        return jnp.sum(jnp.where(l128 == k, ref[...], 0), axis=1)
-
-    def regcol1(ref, k):
-        """scalar column k of a (1, 128) register."""
-        return jnp.sum(jnp.where(l128_1 == k, ref[...], 0))
+    def regsel(ref, base, f):
+        """(B,) register lane base+f for traced frame f in {0,1,2}."""
+        return jnp.sum(jnp.where(l128 == base + f, ref[...], 0), axis=1)
 
     def lexmax(a, b):
         """(val, idx, fr, ndx) lexicographic max by (val, then idx)."""
@@ -612,9 +609,6 @@ def _dp_kernel_mega(  # noqa: C901
         i_kind = colG(kind_ref, i)
         i_fr = i_ndx % 3
         win_lo = colG(winlo_ref, i) - base_i + PREF
-        cs_i = colB(cs_ref, i)
-        rsc_i = colB(rsc_ref, i)
-        usc_i = colB(usc_ref, i)
 
         empty4 = (
             jnp.full((B,), INT_NEG, jnp.int32),
@@ -682,6 +676,9 @@ def _dp_kernel_mega(  # noqa: C901
         def branch_fwd_start():
             # predecessors: fwd stops (intergenic) or rev starts
             # (opposite-strand); window = [i-1000, i), never extended
+            rsc_i = colB(rsc_ref, i)
+            usc_i = colB(usc_ref, i)
+
             def case(sl, jp, n1_ndx, n1_sv, n1_kind, n1_score, n1_tb,
                      inwin):
                 f1_stop = n1_kind == 1
@@ -709,12 +706,12 @@ def _dp_kernel_mega(  # noqa: C901
             # ndx > stop_val[i]) + operon register (fwd stops via the
             # star table) — both maintained with exactly that range by
             # the reset-on-frame-stop rule below
-            gv = regcol(r_val, i_fr)
-            gj = regcol(r_idx, i_fr)
-            gn = regcol(r_ndx, i_fr)
-            ov = regcol(r_val, 3 + i_fr)
-            oj = regcol(r_idx, 3 + i_fr)
-            on = regcol(r_ndx, 3 + i_fr)
+            gv = regsel(r_val, 0, i_fr)
+            gj = regsel(r_idx, 0, i_fr)
+            gn = regsel(r_ndx, 0, i_fr)
+            ov = regsel(r_val, 3, i_fr)
+            oj = regsel(r_idx, 3, i_fr)
+            on = regsel(r_ndx, 3, i_fr)
             neg1 = jnp.full((B,), -1, jnp.int32)
             return lexmax((gv, gj, neg1, gn), (ov, oj, neg1, on))
 
@@ -722,10 +719,11 @@ def _dp_kernel_mega(  # noqa: C901
             # the unique enclosing same-frame rev stop via register,
             # plus fwd stops within 200 bp of stop_val[i] via one
             # OVW-lane window at the precomputed node offset
-            rv = regcol(r_val, 6 + i_fr)
-            rj = regcol(r_idx, 6 + i_fr)
-            rn = regcol(r_ndx, 6 + i_fr)
-            rsv = regcol1(r_sv, 6 + i_fr)
+            cs_i = colB(cs_ref, i)
+            rv = regsel(r_val, 6, i_fr)
+            rj = regsel(r_idx, 6, i_fr)
+            rn = regsel(r_ndx, 6, i_fr)
+            rsv = r_sv[6 + i_fr]
             csq = quant(cs_i)[:, 0]                     # (B,)
             valid = rsv > i_ndx
             cand_r = (jnp.where(valid, rv + csq, INT_NEG),
@@ -780,6 +778,8 @@ def _dp_kernel_mega(  # noqa: C901
             # fwd stops (triple-overlap star scan + intergenic), rev
             # starts (gene-before), rev stops (operon via star table);
             # window = [i-1000, i), never extended
+            rsc_i = colB(rsc_ref, i)
+            usc_i = colB(usc_ref, i)
             v30 = colB(val30_ref, i)
             v31 = colB(val31_ref, i)
             v32 = colB(val32_ref, i)
@@ -848,8 +848,10 @@ def _dp_kernel_mega(  # noqa: C901
         cur_tb = b_tb[:, pl.ds(base, 128)]
         cur_ov = b_ov[:, pl.ds(base, 128)]
         cur_tn = b_tbndx[:, pl.ds(base, 128)]
-        cur_col = jnp.sum(jnp.where(selc, cur, 0), axis=1)
-        do = (best > INT_NEG // 2) & (best >= cur_col)
+        # the pre-commit column always holds the (0, -1) baseline (each
+        # column is committed exactly once, at its own step), so the
+        # `>=` relaxation against the baseline is just best >= 0
+        do = best >= 0
         doc = selc & do[:, None]
         b_score[:, pl.ds(base, 128)] = jnp.where(doc, best[:, None], cur)
         b_tb[:, pl.ds(base, 128)] = jnp.where(doc, bestj[:, None], cur_tb)
@@ -864,7 +866,7 @@ def _dp_kernel_mega(  # noqa: C901
         def upd_fwd_start():
             # gene register, lane i_fr: score + quantized cscore;
             # >= keeps the larger index on ties (ascending pushes)
-            cand = sfin + quant(cs_i)[:, 0]
+            cand = sfin + quant(colB(cs_ref, i))[:, 0]
             m = (l128 == i_fr) & (cand[:, None] >= r_val[...])
             r_val[...] = jnp.where(m, cand[:, None], r_val[...])
             r_idx[...] = jnp.where(m, ig, r_idx[...])
@@ -900,8 +902,7 @@ def _dp_kernel_mega(  # noqa: C901
             r_val[...] = jnp.where(m, sfin[:, None], r_val[...])
             r_idx[...] = jnp.where(m, ig, r_idx[...])
             r_ndx[...] = jnp.where(m, i_ndx, r_ndx[...])
-            m1 = l128_1 == 6 + i_fr
-            r_sv[...] = jnp.where(m1, i_sv, r_sv[...])
+            r_sv[6 + i_fr] = i_sv
 
         jax.lax.switch(i_kind, [upd_fwd_start, upd_fwd_stop,
                                 upd_rev_start, upd_rev_stop])
@@ -951,7 +952,7 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((B, 128), jnp.int32),   # r_val (class registers)
         pltpu.VMEM((B, 128), jnp.int32),   # r_idx
         pltpu.VMEM((B, 128), jnp.int32),   # r_ndx
-        pltpu.VMEM((1, 128), jnp.int32),   # r_sv
+        pltpu.SMEM((16,), jnp.int32),      # r_sv
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
