@@ -14,7 +14,10 @@ Replays exactly:
   so the first-seen candidate wins ties, with per-frame pointers;
 * the derived star tables of dp_pallas (opv1 / val3 / t_sv / t_ndx):
   per-frame gathered cscore+sscore plus the intergenic modifier, with
-  the sentinel encodings the DP kernels expect.
+  the sentinel encodings the DP kernels expect.  Star pointers and the
+  integer tables are bit-identical to the XLA formulation; the float
+  tables can differ by last-ULP f32 fusion/rounding, absorbed by the
+  winner-arbitration drift margin (tests/test_meta.py differential).
 
 Halo lanes at the array edges carry neighboring-tile data that does not
 exist; every consumer masks by the candidate's global bounds (the sweep

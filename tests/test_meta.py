@@ -324,3 +324,86 @@ def test_mega_route_fxs_rescale(data):
     assert [(g.begin, g.end, g.strand) for g in b] == \
         [(g.begin, g.end, g.strand) for g in a]
     assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+@needs_bins
+def test_star_pallas_matches_xla_tables(data):
+    """The fused star kernel (star_pallas) must reproduce the XLA
+    formulation's star pointers AND derived tables (opv1/val3/t_sv/t_ndx)
+    exactly — same sweep order, same tie rules, same sentinels."""
+    pytest.importorskip("jax")
+    import numpy as np
+    import jax.numpy as jnp
+    from pyrodigal_tpu.sequence import Sequence
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+    from pyrodigal_tpu.ops import score_device as sd
+    from pyrodigal_tpu.ops import star_pallas, dp_pallas
+
+    seq = Sequence(list(parse(data("SRR492066.fna.gz")))[0].seq[:24576])
+    runner = TpuMetaRunner(METAGENOMIC_BINS, interpret=True)
+    cand, geoms, _nbt, _route = runner._prepare_contig(seq)
+    g = geoms[list(geoms)[0]]
+    NT = 2048 * ((g["nn"] + 2047) // 2048)
+    SB = ((seq.slen + 196607) // 196608) * 196608
+    packed = sd.pack_geometries([g], 1, NT, SB)
+    geo = {k: jnp.asarray(v) for k, v in packed.items()}
+    BT = 16
+    bin_idx = np.zeros(BT, np.int32)
+    for k, b in enumerate(cand[:BT]):
+        bin_idx[k] = b
+    bi = jnp.asarray(bin_idx)
+    gi = jnp.asarray(np.zeros(BT, np.int32))
+
+    # XLA reference: score with the sweep, then the gather_near tables
+    out = sd.score_only(runner.tables.as_tuple(), geo, bi, gi,
+                        is_meta=True, closed=False, S3=SB // 3,
+                        has_nonsd=runner.tables.any_nonsd,
+                        relk=runner.relk, max_overlap=60)
+    (ndx, stop_val, typ, strand, win_lo, valid,
+     cscore, ssc, rsc, usc, star_ptr, stw) = out
+    iidx = jnp.arange(NT)[None, :]
+    span = runner.relk + 4
+    cs = cscore + ssc
+    stw2 = stw[:, None]
+    ref_tabs = [[], [], [], []]
+    for k in range(3):
+        spk = star_ptr[k].astype(jnp.int32)
+        okm = spk != -1
+        d = jnp.where(okm, spk - iidx, span + 1)
+        outs = [jnp.zeros_like(a) for a in (ndx, cs, rsc, usc, strand,
+                                            stop_val)]
+        for t in range(2 * span + 1):
+            dd = t - span
+            m = d == dd
+            outs = [jnp.where(m, jnp.roll(a, -dd, axis=1), o)
+                    for a, o in zip((ndx, cs, rsc, usc, strand, stop_val),
+                                    outs)]
+        g_ndx, g_cs, g_rs, g_us, g_str, g_sv = outs
+        ref_tabs[0].append(np.asarray(jnp.where(
+            okm, g_cs + dp_pallas._igm_same_jnp(
+                ndx, strand, rsc, usc, g_ndx, g_rs, g_us, stw2), -1e30)))
+        ref_tabs[1].append(np.asarray(jnp.where(
+            okm, g_cs + dp_pallas._igm_same_jnp(
+                g_ndx, g_str, g_rs, g_us, ndx, rsc, usc, stw2), -1e30)))
+        ref_tabs[2].append(np.asarray(jnp.where(okm, g_sv, -(10 ** 9))))
+        ref_tabs[3].append(np.asarray(jnp.where(okm, g_ndx, 0)))
+
+    # fused kernel
+    kind = 2 * (strand != 1).astype(jnp.int32) + (typ == 3)
+    kind4 = jnp.where(valid != 0, kind, 4)
+    edge = jnp.take(geo["n8"], gi, axis=1).astype(jnp.int32)[2]
+    sp2, opv1, val3, t_sv, t_ndx = star_pallas.star_tables_mega(
+        ndx[0:1], stop_val[0:1], kind4[0:1], edge[0:1],
+        cs, rsc, usc, stw, runner.relk, 60, interpret=True)
+
+    assert np.array_equal(np.asarray(sp2), np.asarray(star_ptr))
+    for k in range(3):
+        # float tables may differ by last-ULP f32 fusion/rounding between
+        # the Mosaic kernel and the XLA formulation (absorbed by the
+        # winner-arbitration drift margin); integers must be exact
+        assert np.allclose(np.asarray(opv1[k]), ref_tabs[0][k],
+                           rtol=1e-6, atol=1e-5)
+        assert np.allclose(np.asarray(val3[k]), ref_tabs[1][k],
+                           rtol=1e-6, atol=1e-5)
+        assert np.array_equal(np.asarray(t_sv[k]), ref_tabs[2][k])
+        assert np.array_equal(np.asarray(t_ndx[k]), ref_tabs[3][k])
