@@ -465,7 +465,7 @@ MEGA_TILE = 2048
 
 def _dp_kernel_mega(  # noqa: C901
     nn_ref,
-    ndx_ref, sv_ref, kind_ref, winlo_ref, ovlo_ref,
+    ndx_ref, sv_ref, kind_ref, winlo_ref, ovlo_ref, hasov_ref,
     cs_ref, rsc_ref, usc_ref,
     opv10_ref, opv11_ref, opv12_ref,
     val30_ref, val31_ref, val32_ref,
@@ -731,47 +731,56 @@ def _dp_kernel_mega(  # noqa: C901
                       jnp.full((B,), -1, jnp.int32),
                       jnp.where(valid, rn, 0))
 
-            olo = colG(ovlo_ref, i) - base_i + PREF     # scratch coord
-            al = pl.multiple_of((jnp.maximum(olo, 0) // 128) * 128, 128)
-            # clamp so the OVW-lane slice stays inside the scratch width;
-            # when clamped the window still covers [olo, ip) because
-            # olo >= al was only possible with al > sw - OVW
-            al = jnp.minimum(al, PREF + TILE - OVW)
-            al = pl.multiple_of(al, 128)
-            sl = pl.ds(al, OVW)
-            jp = al + lov1                              # (1, OVW)
-            n1_ndx = b_ndx[0:1, sl]
-            n1_kind = b_kind[0:1, sl]
-            n1_score = b_score[:, sl]
-            n1_tb = b_tb[:, sl]
-            n1_tbndx = b_tbndx[:, sl]
-            bnd = jnp.where(n1_tb == -1, 0, n1_tbndx)
-            ovlp = (n1_ndx + 2) - (i_sv - 2) + 1
-            ov_ok = (
-                ((i_sv - 2) < (n1_ndx + 2))
-                & (ovlp < MAX_OPP_OVLP)
-                & ((n1_ndx - i_sv) < (i_ndx - n1_ndx + 3))
-                & ((n1_ndx - i_sv) < (i_sv - 3 - bnd))
-            )
-            okc = ((jp >= olo) & (jp < ip) & (jp >= win_lo)
-                   & (n1_kind == 1) & (n1_tb != -1) & ov_ok)
-            sc = cs_i + igm_diff
-            candq = jnp.where(okc, n1_score + quant(
-                jnp.where(okc, jnp.broadcast_to(sc, okc.shape), 0.0)),
-                INT_NEG)
-            lane = jnp.broadcast_to(jp, (B, OVW))
-            cmax = jnp.max(candq, axis=1, keepdims=True)
-            pick = jnp.max(jnp.where(candq == cmax, lane, -1), axis=1,
-                           keepdims=True)
-            nsel = jnp.max(jnp.where(lane == pick,
-                                     jnp.broadcast_to(n1_ndx, (B, OVW)),
-                                     0), axis=1)
-            cmaxv = cmax[:, 0]
-            okv = cmaxv > INT_NEG // 2
-            cand_w = (cmaxv,
-                      jnp.where(okv, pick[:, 0] - PREF + base_i, -1),
-                      jnp.full((B,), -1, jnp.int32),
-                      nsel)
+            def ov_window():
+                olo = colG(ovlo_ref, i) - base_i + PREF   # scratch coord
+                al = pl.multiple_of((jnp.maximum(olo, 0) // 128) * 128,
+                                    128)
+                # clamp so the OVW-lane slice stays inside the scratch
+                # width; when clamped the window still covers [olo, ip)
+                # because olo >= al was only possible with al > sw - OVW
+                al = jnp.minimum(al, PREF + TILE - OVW)
+                al = pl.multiple_of(al, 128)
+                sl = pl.ds(al, OVW)
+                jp = al + lov1                            # (1, OVW)
+                n1_ndx = b_ndx[0:1, sl]
+                n1_kind = b_kind[0:1, sl]
+                n1_score = b_score[:, sl]
+                n1_tb = b_tb[:, sl]
+                n1_tbndx = b_tbndx[:, sl]
+                bnd = jnp.where(n1_tb == -1, 0, n1_tbndx)
+                ovlp = (n1_ndx + 2) - (i_sv - 2) + 1
+                ov_ok = (
+                    ((i_sv - 2) < (n1_ndx + 2))
+                    & (ovlp < MAX_OPP_OVLP)
+                    & ((n1_ndx - i_sv) < (i_ndx - n1_ndx + 3))
+                    & ((n1_ndx - i_sv) < (i_sv - 3 - bnd))
+                )
+                okc = ((jp >= olo) & (jp < ip) & (jp >= win_lo)
+                       & (n1_kind == 1) & (n1_tb != -1) & ov_ok)
+                sc = cs_i + igm_diff
+                candq = jnp.where(okc, n1_score + quant(
+                    jnp.where(okc, jnp.broadcast_to(sc, okc.shape), 0.0)),
+                    INT_NEG)
+                lane = jnp.broadcast_to(jp, (B, OVW))
+                cmax = jnp.max(candq, axis=1, keepdims=True)
+                pick = jnp.max(jnp.where(candq == cmax, lane, -1), axis=1,
+                               keepdims=True)
+                nsel = jnp.max(jnp.where(lane == pick,
+                                         jnp.broadcast_to(n1_ndx,
+                                                          (B, OVW)),
+                                         0), axis=1)
+                cmaxv = cmax[:, 0]
+                okv = cmaxv > INT_NEG // 2
+                return (cmaxv,
+                        jnp.where(okv, pick[:, 0] - PREF + base_i, -1),
+                        jnp.full((B,), -1, jnp.int32),
+                        nsel)
+
+            # the window only matters when some fwd stop lies within
+            # 200 bp of this rev start's own stop (host-precomputed
+            # flag) — most rev starts have none
+            cand_w = jax.lax.cond(colG(hasov_ref, i) != 0, ov_window,
+                                  lambda: empty4)
             return lexmax(cand_r, cand_w)
 
         def branch_rev_stop():
@@ -960,7 +969,7 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         in_specs=[
             pl.BlockSpec((1, TILE), lambda g, _nn: (0, g),
                          memory_space=pltpu.VMEM)    # geometry, shared row
-            for _ in range(5)
+            for _ in range(6)
         ] + [
             pl.BlockSpec((B, TILE), lambda g, _nn: (0, g),
                          memory_space=pltpu.VMEM)
@@ -1036,10 +1045,19 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     sort_key = jnp.where(valid[0] != 0, ndx[0], 2 ** 30)
     ovlo = jnp.searchsorted(sort_key, stop_val[0] - 3,
                             method="sort").astype(jnp.int32)
+    # does any fwd stop fall in (stop_val-4, stop_val+195)?  exact gate
+    # for the kind-2 overlap window (candidates need ndx > sv-4 and
+    # ovlp < MAX_OPP_OVLP, i.e. ndx < sv+195)
+    fs_key = jnp.where((valid[0] != 0) & (kind[0] == 1), ndx[0], 2 ** 30)
+    fs_sorted = jnp.sort(fs_key)
+    lo_cnt = jnp.searchsorted(fs_sorted, stop_val[0] - 3, method="sort")
+    hi_cnt = jnp.searchsorted(fs_sorted, stop_val[0] + 195, method="sort")
+    has_ov = (hi_cnt > lo_cnt).astype(jnp.int32)
 
     # geometry operands are shared by every bin row -> ship (1, NT)
     args = tuple(
-        [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None]]
+        [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None],
+         has_ov[None]]
         + [cs, rsc, usc]
         + opv1 + val3 + t_sv + t_ndx
         + [jnp.broadcast_to(st_wt[:, None], (B, 128))]
