@@ -5,8 +5,9 @@ Prints ONE JSON line:
 
 Workload: natural, UNCHOPPED contigs called in metagenomic mode (the
 ~13-bin GC-window sweep per contig) — a 2.46 Mbp complete genome, a
-404 kb contig, a 100 kb contig and an 80 kb contig, three replicas each
-(~9 Mbp total).  Nothing is sliced to dodge device limits: Mbp-scale
+404 kb contig, a 100 kb contig and an 80 kb contig, six replicas each
+(~21 Mbp total; enough work for the device pipeline to reach steady
+state).  Nothing is sliced to dodge device limits: Mbp-scale
 contigs run on the node-axis-gridded "mega" kernel (scratch-carried DP
 window), smaller ones on the bucketed batch kernel; no contig takes the
 host C fallback.  The baseline is the reference's best published CPU
@@ -54,7 +55,7 @@ WORKLOAD = [
     "GCF_001457455.1_NCTC11397_genomic_100kb.fna.gz",  # 100 kb contig
     "SRR492066.fna.gz",                               # ~80 kb contig
 ]
-REPLICAS = 3
+REPLICAS = 6
 
 
 def data(name):
