@@ -255,17 +255,16 @@ def _seg_scan_incl(m, r):
     rb = rp.reshape(BT, nb, BK, C)
     im, ir = jax.lax.associative_scan(_seg_comb, (mb, rb), axis=2)
 
-    def carry_step(carry, blk):
-        bm, br = blk                       # block summary (BT, C)
-        out = carry                        # prefix BEFORE this block
-        return _seg_comb(carry, (bm, br)), out
-
-    init = (jnp.full((BT, C), NEGI), jnp.zeros((BT, C), bool))
-    _, (pm, pr) = jax.lax.scan(
-        carry_step, init,
-        (im[:, :, -1].transpose(1, 0, 2), ir[:, :, -1].transpose(1, 0, 2)))
-    pm = pm.transpose(1, 0, 2)[:, :, None, :]   # (BT, nb, 1, C)
-    pr = pr.transpose(1, 0, 2)[:, :, None, :]
+    # block-carry pass: an associative_scan over the nb block summaries
+    # (log-depth, fully parallel) instead of an nb-step sequential
+    # lax.scan — the sequential form cost ~75 us per step on hardware
+    bm_i, br_i = jax.lax.associative_scan(
+        _seg_comb, (im[:, :, -1], ir[:, :, -1]), axis=1)   # inclusive
+    # exclusive prefix: shift right with the identity as the seed
+    pm = jnp.concatenate(
+        [jnp.full((BT, 1, C), NEGI), bm_i[:, :-1]], axis=1)[:, :, None, :]
+    pr = jnp.concatenate(
+        [jnp.zeros((BT, 1, C), bool), br_i[:, :-1]], axis=1)[:, :, None, :]
     om = jnp.where(ir, im, jnp.maximum(pm, im))
     orr = pr | ir
     return (om.reshape(BT, nb * BK, C)[:, :n],
@@ -308,14 +307,11 @@ def _sel_phase(scan, phase):
 
 def _row_lookup_small(rows, idx, K):
     """``rows[b, idx[b, n]]`` for a small per-item table (K <= ~32) as a
-    select sweep (general gathers are near-scalar on TPU)."""
-
-    def body(v, out):
-        wv = jax.lax.dynamic_slice_in_dim(rows, v, 1, axis=1)
-        return jnp.where(idx == v, wv, out)
-
-    return jax.lax.fori_loop(
-        1, K, body, jnp.broadcast_to(rows[:, 0:1], idx.shape))
+    one-hot MXU contraction (general gathers are near-scalar on TPU, and
+    a K-step select sweep pays ~K while-iterations)."""
+    oh = jax.nn.one_hot(idx, K, dtype=rows.dtype)
+    return jnp.einsum("bnk,bk->bn", oh, rows,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _gat(a, idx):
