@@ -2041,8 +2041,7 @@ static void update_motif_counts(double mcnt[4][4][4096], double *zero,
  * the entry points run concurrently on the runner's thread pool); the
  * production choice is variant 2, thresh 0.20. */
 void rc_build_coverage_map(double real[4][4][4096], int good[4][4][4096],
-                           double ng, int stage, int BCM_VARIANT,
-                           double thresh) {
+                           double ng, int BCM_VARIANT, double thresh) {
     int i, j, l, size, pre, suf, any;
 
     memset(good, 0, 4 * 4 * 4096 * sizeof(int));
@@ -2396,7 +2395,7 @@ void rc_train_starts_nonsd(const uint8_t *d, int slen, nodes_t *nd, training_t *
 
         /* update type and motif log-likelihood weights */
         if (stage < 2)
-            rc_build_coverage_map(mreal, mgood, ngenes, stage, 2, 0.20);
+            rc_build_coverage_map(mreal, mgood, ngenes, 2, 0.20);
         sum = 0.0;
         for (j = 0; j < 4; j++)
             for (k = 0; k < 4; k++)

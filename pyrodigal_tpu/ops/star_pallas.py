@@ -168,6 +168,7 @@ def star_tables_mega(ndx, stop_val, kind4, edge, cs, rsc, usc, st_wt,
     matching score_device's sweep + dp_pallas's gather tables exactly.
     """
     B, NT = cs.shape
+    assert NT % TILE == 0, "NT must be a multiple of the star tile"
     n_tiles = NT // TILE
     gmeta = kind4 | jnp.where(edge != 0, 8, 0)
     arrays = (ndx, stop_val, gmeta, cs, rsc, usc)

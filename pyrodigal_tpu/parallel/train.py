@@ -133,6 +133,20 @@ def _sharded_counts(mesh, dig, bgm, gnm):
     return np.asarray(bg, np.int64), np.asarray(gn, np.int64)
 
 
+def _balance(ranges, D, total):
+    """Split ranges into position chunks of at most ~total/(2D) so the
+    round-robin assignment stays balanced even for one huge contig (or a
+    skewed contig-size distribution)."""
+    step = max(1, -(-total // (2 * D)))
+    out = []
+    for lo, hi in ranges:
+        p = lo
+        while p < hi:
+            out.append((p, min(p + step, hi)))
+            p += step
+    return out
+
+
 def sharded_background_counts(mesh, digits):
     """Background hexamer counts of one (joined) digit sequence, position
     shards psum-merged over the mesh.  Bit-identical to the C scan in
@@ -144,15 +158,17 @@ def sharded_background_counts(mesh, digits):
     npos = max(slen - 5, 0)
     comp = np.where(d < 4, 3 - d, d)[::-1].astype(np.uint8)
     D = mesh.devices.size
-    chunk = -(-npos // D) if npos else 1
-    ranges = [(k * chunk, min((k + 1) * chunk, npos)) for k in range(D)]
-    none = np.zeros(slen, bool)
-    valid = np.zeros(slen, bool)
+    # ONE launch: forward and reverse-complement coordinates live side by
+    # side in a concatenated source, with the reverse ranges offset
+    both = np.concatenate([d, comp])
+    valid = np.zeros(2 * slen, bool)
     valid[:npos] = True
-    bg_f, _ = _sharded_counts(mesh, *_pack_ranges(d, valid, none, ranges, D))
-    bg_r, _ = _sharded_counts(mesh, *_pack_ranges(comp, valid, none,
-                                                  ranges, D))
-    return bg_f + bg_r
+    valid[slen:slen + npos] = True
+    ranges = _balance([(0, npos), (slen, slen + npos)], D, 2 * npos)
+    none = np.zeros(2 * slen, bool)
+    bg, _ = _sharded_counts(mesh, *_pack_ranges(both, valid, none,
+                                                ranges, D))
+    return bg
 
 
 def train_distributed(mesh, sequence, *sequences, translation_table=11,
@@ -197,23 +213,27 @@ def train_distributed(mesh, sequence, *sequences, translation_table=11,
     bg_valid[:npos] = True
 
     # per-contig owned ranges of the joined sequence (each contig owns its
-    # span plus the following linker); reverse-coordinate ranges mirror
+    # span plus the following linker); reverse-coordinate ranges mirror.
+    # Forward and reverse coordinates live side by side in one
+    # concatenated source so a single launch tallies both strands, and
+    # large contigs are split into balanced position chunks.
     offs = [0]
     for c in contigs:
         offs.append(min(offs[-1] + len(c) + len(_LINKER), slen))
     offs[-1] = slen
     fwd_ranges = [(offs[k], min(offs[k + 1], npos))
                   for k in range(len(contigs))]
-    rev_ranges = [(max(slen - offs[k + 1], 0), min(slen - offs[k], npos))
+    rev_ranges = [(slen + max(slen - offs[k + 1], 0),
+                   slen + min(slen - offs[k], npos))
                   for k in range(len(contigs))]
 
     D = mesh.devices.size
-    bg_f, gn_f = _sharded_counts(
-        mesh, *_pack_ranges(d, bg_valid, gene_f, fwd_ranges, D))
-    bg_r, gn_r = _sharded_counts(
-        mesh, *_pack_ranges(comp, bg_valid, gene_r, rev_ranges, D))
-    bg = bg_f + bg_r
-    gene = gn_f + gn_r
+    both = np.concatenate([d, comp])
+    bg_valid2 = np.concatenate([bg_valid, bg_valid])
+    gene_both = np.concatenate([gene_f, gene_r])
+    ranges = _balance(fwd_ranges + rev_ranges, D, 2 * npos)
+    bg, gene = _sharded_counts(
+        mesh, *_pack_ranges(both, bg_valid2, gene_both, ranges, D))
 
     s = nodes._struct()
     _native.lib.rc_dicodon_finalize(
