@@ -458,8 +458,8 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
 # MAX_CHUNKS_MEGA * W_MEGA bounds the giant-ORF window extension
 # (reference: lib.pyx:1221-1233); the host geometry check guarantees it.
 
-W_MEGA = 512
-MEGA_CHUNKS = 8                    # PREF = 8 * 512 = 4096 node lookback
+W_MEGA = 1024
+MEGA_CHUNKS = 4                    # PREF = 4 * 1024 = 4096 node lookback
 MEGA_TILE = 2048
 
 
