@@ -613,8 +613,10 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     dcf = _lookup64(dcrow, m6_f)
     dcr = _lookup64(dcrow, m6_r)
     S = dcf.shape[1]
-    Cf = jnp.cumsum(dcf.reshape(BT, S3, 3), axis=1).reshape(BT, S)
-    Cr = jnp.cumsum(dcr.reshape(BT, S3, 3), axis=1).reshape(BT, S)
+    from . import star_pallas as _sp
+    interp = jax.devices()[0].platform not in ("tpu", "gpu")
+    Cf = _sp.phase_cumsum(dcf, interpret=interp)
+    Cr = _sp.phase_cumsum(dcr, interpret=interp)
 
     if n > 16384:
         # mega route: every row shares the single geometry, so the four

@@ -220,3 +220,67 @@ def star_tables_mega(ndx, stop_val, kind4, edge, cs, rsc, usc, st_wt,
     sp = jnp.stack(outs[0:3])
     return (sp, list(outs[3:6]), list(outs[6:9]), list(outs[9:12]),
             list(outs[12:15]))
+
+
+def _phase_cumsum_kernel(x_ref, o_ref, carry, *, T, B):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry[...] = jnp.zeros((B, 128), jnp.float32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    off = (g * T) % 3
+    ph = (lane + off) % 3
+    x = x_ref[...]
+    c = carry[...]
+
+    outs = []
+    tots = []
+    for r in range(3):
+        v = jnp.where(ph == r, x, 0.0)
+        tots.append(jnp.sum(v, axis=1))
+        s = v
+        sh = 1
+        while sh < T:
+            rolled = pltpu.roll(s, sh, axis=1)
+            s = s + jnp.where(lane >= sh, rolled, 0.0)
+            sh *= 2
+        cr = jnp.sum(jnp.where(l128 == r, c, 0.0), axis=1)
+        outs.append(s + cr[:, None])
+    o_ref[...] = jnp.where(ph == 0, outs[0],
+                           jnp.where(ph == 1, outs[1], outs[2]))
+    upd = sum((l128 == r) * tots[r][:, None] for r in range(3))
+    carry[...] = c + upd
+
+
+def phase_cumsum(x, interpret=False, TILE=2048):
+    """Per-phase (mod-3) inclusive prefix sums along the last axis of a
+    (B, S) float32 array: out[b, p] = sum of x[b, q] over q <= p with
+    q % 3 == p % 3 — the dc-score phase cumsum without the
+    (B, S/3, 3)-layout reshapes (the minor-3 layout costs two relayout
+    copies and a strided scan in XLA).  One HBM pass: each tile's three
+    masked log-shift prefix sums run in VMEM with (B, 3) carries in
+    scratch.
+
+    Association order differs from jnp.cumsum, so values may drift by
+    f32 rounding — inside the device scoring pipeline's drift contract.
+    Falls back to the reshape formulation off-TPU or when S is not a
+    tile multiple."""
+    B, S = x.shape
+    if interpret or S % TILE or jax.devices()[0].platform not in (
+            "tpu", "gpu"):
+        S3 = S // 3
+        return jnp.cumsum(x.reshape(B, S3, 3), axis=1).reshape(B, S)
+    kernel = functools.partial(_phase_cumsum_kernel, T=TILE, B=B)
+    return pl.pallas_call(
+        kernel,
+        grid=(S // TILE,),
+        in_specs=[pl.BlockSpec((B, TILE), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, TILE), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, 128), jnp.float32)],
+    )(x)
