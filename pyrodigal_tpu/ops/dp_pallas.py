@@ -667,8 +667,13 @@ def _dp_kernel_mega(  # noqa: C901
                 best = jnp.where(upd, cmaxv, best)
                 return best, bestj, bestf, bestn
 
-            best, bestj, bestf, bestn = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, empty4)
+            if n_chunks is None:
+                # kinds 0/3: the 1000-node window always fits one
+                # W=1024 chunk — no dynamic trip count
+                best, bestj, bestf, bestn = chunk_body(0, empty4)
+            else:
+                best, bestj, bestf, bestn = jax.lax.fori_loop(
+                    0, n_chunks, chunk_body, empty4)
             bestj = jnp.where(best > INT_NEG // 2,
                               bestj - PREF + base_i, -1)
             return best, bestj, bestf, bestn
@@ -698,8 +703,7 @@ def _dp_kernel_mega(  # noqa: C901
                 return (jnp.broadcast_to(cand, (B, WP)),
                         jnp.broadcast_to(jnp.int32(-1), (B, WP)))
 
-            ext = ip - win_lo
-            return window_pass(case, jnp.clip((ext + W - 1) // W, 1, 2))
+            return window_pass(case, None)
 
         def branch_fwd_stop():
             # O(1): gene register (same-frame fwd starts with
@@ -844,8 +848,7 @@ def _dp_kernel_mega(  # noqa: C901
                 return (jnp.broadcast_to(cand, (B, WP)),
                         jnp.broadcast_to(m, (B, WP)))
 
-            ext = ip - win_lo
-            return window_pass(case, jnp.clip((ext + W - 1) // W, 1, 2))
+            return window_pass(case, None)
 
         best, bestj, bestf, bestn = jax.lax.switch(
             i_kind, [branch_fwd_start, branch_fwd_stop, branch_rev_start,
