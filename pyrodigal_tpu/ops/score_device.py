@@ -601,22 +601,26 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
     # ---- cscore pass 1: hexamer sums as phase-wise prefix differences ----
     dcrow = gene_dc[bin_idx]                           # (BT, 4096)
-    if m6f.shape[0] == 1:
-        # shared geometry (mega): broadcast the single code row instead
-        # of materializing (2, BT, S) duplicated copies (~1.7 GB on a
-        # 13 Mbp contig)
-        m6_f = jnp.broadcast_to(m6f, (BT, m6f.shape[1]))
-        m6_r = jnp.broadcast_to(m6r, (BT, m6r.shape[1]))
-    else:
-        m6 = jnp.take(jnp.stack([m6f, m6r]), gidx, axis=1)  # (2, BT, S)
-        m6_f, m6_r = m6[0], m6[1]
-    dcf = _lookup64(dcrow, m6_f)
-    dcr = _lookup64(dcrow, m6_r)
-    S = dcf.shape[1]
     from . import star_pallas as _sp
     interp = jax.devices()[0].platform not in ("tpu", "gpu")
-    Cf = _sp.phase_cumsum(dcf, interpret=interp)
-    Cr = _sp.phase_cumsum(dcr, interpret=interp)
+    S = m6f.shape[1]
+    if m6f.shape[0] == 1 and not interp and S % 2048 == 0:
+        # shared geometry (mega) on hardware: fused Pallas
+        # lookup + phase-cumsum — the codes stream through VMEM once
+        # instead of materializing ~10 GB of one-hot row intermediates
+        Cf = _sp.dc_phase_cumsum(dcrow, m6f)
+        Cr = _sp.dc_phase_cumsum(dcrow, m6r)
+    else:
+        if m6f.shape[0] == 1:
+            m6_f = jnp.broadcast_to(m6f, (BT, S))
+            m6_r = jnp.broadcast_to(m6r, (BT, S))
+        else:
+            m6 = jnp.take(jnp.stack([m6f, m6r]), gidx, axis=1)
+            m6_f, m6_r = m6[0], m6[1]
+        dcf = _lookup64(dcrow, m6_f)
+        dcr = _lookup64(dcrow, m6_r)
+        Cf = _sp.phase_cumsum(dcf, interpret=interp)
+        Cr = _sp.phase_cumsum(dcr, interpret=interp)
 
     if n > 16384:
         # mega route: every row shares the single geometry, so the four
