@@ -461,6 +461,10 @@ def _dp_core(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp,
 W_MEGA = 1024
 MEGA_CHUNKS = 4                    # PREF = 4 * 1024 = 4096 node lookback
 MEGA_TILE = 2048
+# Ring capacity for the fwd-stop source ring (kind-0 targets): must cover
+# every fwd stop inside any fwd start's [i-1000, i) window (host-checked
+# in meta_tpu._mega_ok; real genomes peak around 80-150).
+MEGA_RING = 256
 
 
 def _dp_kernel_mega(  # noqa: C901
@@ -472,11 +476,13 @@ def _dp_kernel_mega(  # noqa: C901
     tsv0_ref, tsv1_ref, tsv2_ref,
     tndx0_ref, tndx1_ref, tndx2_ref,
     stwt_ref,
+    s_ndx, s_sv, s_kind, s_winlo, s_ovlo, s_hasov,
     score_out, traceb_out, ovmark_out, tbndx_out,
     b_ndx, b_sv, b_kind, b_cs, b_rsc, b_usc,
     b_opv0, b_opv1, b_opv2,
     b_score, b_tb, b_tbndx, b_ov,
     r_val, r_idx, r_ndx, r_sv,
+    g_val, g_j, g_ndx, g_pos,
     *, W, TILE, PREF, B, MAX_CHUNKS, fxs,
 ):
     """Every row of a mega launch is a BIN over the SAME geometry, which
@@ -510,7 +516,22 @@ def _dp_kernel_mega(  # noqa: C901
     6-8 = latest rev stop by frame; r_sv carries the rev stops'
     stop_val (geometry-shared).  Candidate selection is everywhere the
     lexicographic (value, source index) maximum, which equals the
-    reference's `>=` relaxation under ascending scans."""
+    reference's `>=` relaxation under ascending scans.
+
+    fwd-START targets (the most numerous kind) avoid the full
+    metadata-heavy window pass: their only sources are fwd stops
+    (distance-only intergenic modifier — the adjacency term of
+    _connection.h:52-78 cannot trigger because candidates require
+    ndx_j + 2 < ndx_i on a position-sorted array) and rev starts (flat
+    -0.15*st_wt modifier, so the argmax is just the windowed score
+    max).  Fwd stops are kept in a MEGA_RING-slot ring buffer (g_val /
+    g_j / g_ndx, rotating at g_pos) pushed at each fwd-stop commit; the
+    host geometry check guarantees every [i-1000, i) window holds at
+    most MEGA_RING fwd stops, so the ring always covers the window.
+    Rev starts are a slim masked max over the score window (score +
+    kind + traceb rows only).  Per-node scalars (ndx, stop_val, kind,
+    win_lo, ovlo, has_ov) are read from SMEM copies instead of
+    128-lane select-reductions."""
     t = pl.program_id(0)
     WP = W + 128
     OVW = 384                          # kind-2 overlap-window lanes
@@ -544,6 +565,10 @@ def _dp_kernel_mega(  # noqa: C901
         r_ndx[...] = jnp.zeros((B, 128), jnp.int32)
         for _k in range(3):
             r_sv[6 + _k] = -(10 ** 9)
+        g_val[...] = jnp.full((B, MEGA_RING), INT_NEG, jnp.int32)
+        g_j[...] = jnp.full((1, MEGA_RING), -1, jnp.int32)
+        g_ndx[...] = jnp.zeros((1, MEGA_RING), jnp.int32)
+        g_pos[0] = 0
 
     @pl.when(t != 0)
     def _shift():
@@ -565,13 +590,6 @@ def _dp_kernel_mega(  # noqa: C901
     b_tb[:, PREF:] = jnp.full((B, TILE), -1, jnp.int32)
     b_tbndx[:, PREF:] = jnp.zeros((B, TILE), jnp.int32)
     b_ov[:, PREF:] = jnp.full((B, TILE), -1, jnp.int32)
-
-    def colG(ref, i):
-        """scalar at column i of a (1, TILE) ref."""
-        base = pl.multiple_of((i // 128) * 128, 128)
-        tile = ref[0:1, pl.ds(base, 128)]
-        sel = l128_1 == (i - base)
-        return jnp.sum(jnp.where(sel, tile, 0))
 
     def colB(ref, i):
         """(B, 1) column i of a (B, TILE) ref."""
@@ -601,14 +619,17 @@ def _dp_kernel_mega(  # noqa: C901
     def quant(x):
         return jnp.round(x * fxs).astype(jnp.int32)
 
+    lring = jax.lax.broadcasted_iota(jnp.int32, (1, MEGA_RING), 1)
+
     def body(i, carry):
         ip = i + PREF                  # scratch coordinate
 
-        i_ndx = colG(ndx_ref, i)
-        i_sv = colG(sv_ref, i)
-        i_kind = colG(kind_ref, i)
+        i_ndx = s_ndx[0, i]
+        i_sv = s_sv[0, i]
+        i_kind = s_kind[0, i]
         i_fr = i_ndx % 3
-        win_lo = colG(winlo_ref, i) - base_i + PREF
+        win_lo_g = s_winlo[0, i]
+        win_lo = win_lo_g - base_i + PREF
 
         empty4 = (
             jnp.full((B,), INT_NEG, jnp.int32),
@@ -679,31 +700,62 @@ def _dp_kernel_mega(  # noqa: C901
             return best, bestj, bestf, bestn
 
         def branch_fwd_start():
-            # predecessors: fwd stops (intergenic) or rev starts
-            # (opposite-strand); window = [i-1000, i), never extended
-            rsc_i = colB(rsc_ref, i)
-            usc_i = colB(usc_ref, i)
+            # predecessors: fwd stops (distance-only modifier, via the
+            # ring) or rev starts (flat modifier, via a slim masked max
+            # over the [i-1000, i) window); see the kernel docstring
+            # ---- rev starts: windowed score max -----------------------
+            lo = ip - W
+            al = pl.multiple_of(jnp.maximum((lo // 128) * 128, 0), 128)
+            sl = pl.ds(al, WP)
+            jp = al + lane1                            # (1, WP)
+            n1_ndx = b_ndx[0:1, sl]
+            n1_kind = b_kind[0:1, sl]
+            n1_score = b_score[:, sl]
+            n1_tb = b_tb[:, sl]
+            okm = ((jp >= win_lo) & (jp < ip) & (n1_kind == 2)
+                   & (n1_ndx < i_ndx))                 # (1, WP)
+            ok = okm & (n1_tb != -1)                   # (B, WP)
+            candq_d = quant(igm_diff)                  # (B, 1)
+            total = jnp.where(ok, n1_score + candq_d, INT_NEG)
+            cmax = jnp.max(total, axis=1, keepdims=True)
+            lane_b = jnp.broadcast_to(lane1, (B, WP))
+            pick = jnp.max(jnp.where(total == cmax, lane_b, -1),
+                           axis=1, keepdims=True)
+            nR = jnp.max(jnp.where(lane_b == pick,
+                                   jnp.broadcast_to(n1_ndx, (B, WP)), 0),
+                         axis=1)
+            vR = cmax[:, 0]
+            jR = jnp.where(vR > INT_NEG // 2,
+                           al + pick[:, 0] - PREF + base_i, -1)
 
-            def case(sl, jp, n1_ndx, n1_sv, n1_kind, n1_score, n1_tb,
-                     inwin):
-                f1_stop = n1_kind == 1
-                r1_start = n1_kind == 2
-                n1_fwd = n1_kind < 2
-                artifact = (n1_tb == -1) & (f1_stop | r1_start)
-                ok = ((f1_stop & ((n1_ndx + 2) < i_ndx))
-                      | (r1_start & (n1_ndx < i_ndx)))
-                n1_rsc = b_rsc[:, sl]
-                n1_usc = b_usc[:, sl]
-                igm_j_i = igm_same(n1_ndx, jnp.where(n1_fwd, 1, -1),
-                                   n1_rsc, n1_usc, i_ndx, rsc_i, usc_i,
-                                   st_wt)
-                sc = jnp.where(f1_stop, igm_j_i, igm_diff)
-                cand = jnp.where(inwin & ok & ~artifact, sc,
-                                 jnp.float32(NEGF))
-                return (jnp.broadcast_to(cand, (B, WP)),
-                        jnp.broadcast_to(jnp.int32(-1), (B, WP)))
+            # ---- fwd stops: ring query --------------------------------
+            rv = g_val[...]                            # (B, RING)
+            rj = g_j[...]                              # (1, RING) global
+            rn = g_ndx[...]                            # (1, RING)
+            okk = (rj >= win_lo_g) & (rj != -1) & (rn + 2 < i_ndx)
+            dist = i_ndx - rn
+            far = dist > 3 * OPER_DIST
+            operon = (dist <= OPER_DIST) | (dist * 4 < OPER_DIST)
+            bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) \
+                * 0.15 * st_wt                         # (B, RING)
+            igm = jnp.where(far, jnp.float32(-0.15) * st_wt,
+                            jnp.where(operon, bonus, 0.0))
+            candq = jnp.round(jnp.where(okk, igm, 0.0) * fxs
+                              ).astype(jnp.int32)
+            totk = jnp.where(okk, rv + candq, INT_NEG)
+            kmax = jnp.max(totk, axis=1, keepdims=True)
+            pickj = jnp.max(jnp.where(totk == kmax,
+                                      jnp.broadcast_to(rj, (B, MEGA_RING)),
+                                      -1), axis=1, keepdims=True)
+            nK = jnp.max(jnp.where(jnp.broadcast_to(rj, (B, MEGA_RING))
+                                   == pickj,
+                                   jnp.broadcast_to(rn, (B, MEGA_RING)),
+                                   0), axis=1)
+            vK = kmax[:, 0]
+            jK = jnp.where(vK > INT_NEG // 2, pickj[:, 0], -1)
 
-            return window_pass(case, None)
+            neg1 = jnp.full((B,), -1, jnp.int32)
+            return lexmax((vR, jR, neg1, nR), (vK, jK, neg1, nK))
 
         def branch_fwd_stop():
             # O(1): gene register (same-frame fwd starts with
@@ -736,7 +788,7 @@ def _dp_kernel_mega(  # noqa: C901
                       jnp.where(valid, rn, 0))
 
             def ov_window():
-                olo = colG(ovlo_ref, i) - base_i + PREF   # scratch coord
+                olo = s_ovlo[0, i] - base_i + PREF        # scratch coord
                 al = pl.multiple_of((jnp.maximum(olo, 0) // 128) * 128,
                                     128)
                 # clamp so the OVW-lane slice stays inside the scratch
@@ -783,7 +835,7 @@ def _dp_kernel_mega(  # noqa: C901
             # the window only matters when some fwd stop lies within
             # 200 bp of this rev start's own stop (host-precomputed
             # flag) — most rev starts have none
-            cand_w = jax.lax.cond(colG(hasov_ref, i) != 0, ov_window,
+            cand_w = jax.lax.cond(s_hasov[0, i] != 0, ov_window,
                                   lambda: empty4)
             return lexmax(cand_r, cand_w)
 
@@ -885,6 +937,16 @@ def _dp_kernel_mega(  # noqa: C901
             r_ndx[...] = jnp.where(m, i_ndx, r_ndx[...])
 
         def upd_fwd_stop():
+            # push this stop into the fwd-stop ring (source for later
+            # fwd-start targets); non-live rows carry the INT_NEG
+            # sentinel, mirroring the window pass's artifact exclusion
+            slot = g_pos[0] % MEGA_RING
+            ms = lring == slot                         # (1, RING)
+            g_j[...] = jnp.where(ms, ig, g_j[...])
+            g_ndx[...] = jnp.where(ms, i_ndx, g_ndx[...])
+            g_val[...] = jnp.where(
+                ms, jnp.where(live, best, INT_NEG)[:, None], g_val[...])
+            g_pos[0] = g_pos[0] + 1
             # reset own-frame gene/operon ranges (sources must have
             # ndx > stop_val of later same-frame stops = this node's ndx),
             # then offer this stop to the OTHER frames' operon lanes
@@ -965,6 +1027,10 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((B, 128), jnp.int32),   # r_idx
         pltpu.VMEM((B, 128), jnp.int32),   # r_ndx
         pltpu.SMEM((16,), jnp.int32),      # r_sv
+        pltpu.VMEM((B, MEGA_RING), jnp.int32),   # g_val (fwd-stop ring)
+        pltpu.VMEM((1, MEGA_RING), jnp.int32),   # g_j
+        pltpu.VMEM((1, MEGA_RING), jnp.int32),   # g_ndx
+        pltpu.SMEM((4,), jnp.int32),             # g_pos
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -980,6 +1046,10 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         ] + [
             pl.BlockSpec((B, 128), lambda g, _nn: (0, 0),
                          memory_space=pltpu.VMEM)    # stwt, constant
+        ] + [
+            pl.BlockSpec((1, TILE), lambda g, _nn: (0, g),
+                         memory_space=pltpu.SMEM)    # per-node scalars
+            for _ in range(6)
         ],
         out_specs=[
             pl.BlockSpec((B, TILE), lambda g, _nn: (0, g),
@@ -1057,13 +1127,16 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     hi_cnt = jnp.searchsorted(fs_sorted, stop_val[0] + 195, method="sort")
     has_ov = (hi_cnt > lo_cnt).astype(jnp.int32)
 
-    # geometry operands are shared by every bin row -> ship (1, NT)
+    # geometry operands are shared by every bin row -> ship (1, NT); the
+    # trailing repeat feeds the kernel's SMEM per-node scalar copies
     args = tuple(
         [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None],
          has_ov[None]]
         + [cs, rsc, usc]
         + opv1 + val3 + t_sv + t_ndx
         + [jnp.broadcast_to(st_wt[:, None], (B, 128))]
+        + [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None],
+           has_ov[None]]
     )
     score_fx, traceb, ov, _ = _run_kernel_mega(
         args, nn, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,

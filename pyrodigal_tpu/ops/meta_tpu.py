@@ -134,6 +134,17 @@ class TpuMetaRunner:
         if nn and int((np.searchsorted(ndx_sorted, ndx_sorted + 200)
                        - np.arange(nn)).max()) > 250:
             return False
+        # the fwd-stop ring serving fwd-start targets must cover every
+        # fwd stop in any [win_lo(i), i) window (real genomes peak ~150)
+        from .._constants import STOP as _STOP
+        fstop = ((g["typ"][:nn] == _STOP)
+                 & (g["strand"][:nn] == 1)).astype(np.int64)
+        cumf = np.concatenate([[0], np.cumsum(fstop)])
+        idx = np.arange(nn)
+        fstart = (g["typ"][:nn] != _STOP) & (g["strand"][:nn] == 1)
+        in_win = np.where(fstart, cumf[idx] - cumf[g["win_lo"][:nn]], 0)
+        if nn and int(in_win.max()) > dp_pallas.MEGA_RING:
+            return False
         # consecutive-node-tile sequence span (window gather locality);
         # gap compaction collapses node-free stretches when it overflows
         if self._tile_span(g["ndx"], nn) + 512 > self.MEGA_SW:

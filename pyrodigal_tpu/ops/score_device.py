@@ -111,9 +111,10 @@ class BinTables:
         # bin's weights (per-position lex argmax by (weight, index); the
         # cross-position reduction downstream is a plain index max).
         # Rows are pre-flipped to window-position order (row p = distance
-        # 20-p), and ex (rows 0-14) / mm (rows 15-29) are stacked so one
-        # table row gather serves both scanners.
-        wi = np.zeros((nb, 30, 4096), np.float32)
+        # 20-p), and the exact / 1-mismatch winner pair is PACKED into one
+        # f32 cell (ex * 32 + mm, both < 28 so the pack is integer-exact)
+        # so one table lookup per window position serves both scanners.
+        wi = np.zeros((2, nb, 15, 4096), np.float32)
         for which, masks in enumerate((sd_ex, sd_mm)):
             mm2 = masks.reshape(15, 4096)[::-1]          # row p = 14-p
             for k in range(nb):
@@ -126,8 +127,8 @@ class BinTables:
                                         | ((wt[v] == bw) & (v > best)))
                     bw = np.where(upd, wt[v], bw)
                     best = np.where(upd, v, best)
-                wi[k, which * 15:which * 15 + 15] = best
-        self.sd_wi = jnp.asarray(wi)
+                wi[which, k] = best
+        self.sd_wi = jnp.asarray(wi[0] * 32.0 + wi[1])   # (nb, 15, 4096)
 
     def as_tuple(self):
         return (self.gene_dc, self.rbs_wt, self.ups_comp, self.type_wt,
@@ -316,6 +317,33 @@ def _row_lookup_small(rows, idx, K):
 
 def _gat(a, idx):
     return jnp.take_along_axis(a, idx, axis=1)
+
+
+def _lookup64_shared(T, codes, chunk=32768):
+    """Geometry-shared table lookup ``T[b, codes[j]] -> (BT, n)`` for a
+    (BT, 4096) table and a SHARED (n,) code vector: the hi-bits one-hot is
+    built once and contracted against every bin's table rows in a single
+    (n, 64) x (64, BT*64) MXU pass — 16x less one-hot VPU work and ~2x
+    better MXU utilization than the per-row `_lookup64` when all batch
+    rows share one geometry.  Chunked so the (BT, chunk, 64) row
+    intermediate stays bounded."""
+    BT = T.shape[0]
+    Tr = T.reshape(BT, 64, 64)
+    n = codes.shape[0]
+
+    def one(c):
+        oh_hi = jax.nn.one_hot(c >> 6, 64, dtype=T.dtype)    # (k, 64)
+        rows = jnp.einsum("nh,bhl->bnl", oh_hi, Tr,
+                          precision=jax.lax.Precision.HIGHEST)
+        oh_lo = jax.nn.one_hot(c & 63, 64, dtype=T.dtype)
+        return jnp.sum(rows * oh_lo[None], axis=2)           # (BT, k)
+
+    if n <= chunk:
+        return one(codes)
+    nc = -(-n // chunk)
+    cp = jnp.pad(codes, (0, nc * chunk - n)).reshape(nc, chunk)
+    out = jax.lax.map(one, cp)                               # (nc, BT, chunk)
+    return out.transpose(1, 0, 2).reshape(BT, nc * chunk)[:, :n]
 
 
 def _lookup64_flat(T, flat):
@@ -695,22 +723,34 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     cscore = jnp.where(start, cfix + lfac, cscore)
 
     # ---- RBS / SD score ---------------------------------------------------
-    # Per window position, gather the per-bin winner index from the
-    # precomputed (30, 4096) tables (BinTables.sd_wi) and take the index
-    # max over positions — the reference's per-position running-max +
-    # cross-position index-max rule (lib.pyx:2241-2277) without the
-    # 27-step weight sweep over (BT, n, 15) masks.
+    # Per window position, gather the per-bin winner-index PAIR (exact /
+    # 1-mismatch packed as ex*32+mm) from the precomputed (15, 4096)
+    # tables (BinTables.sd_wi) and take the index max over positions —
+    # the reference's per-position running-max + cross-position index-max
+    # rule (lib.pyx:2241-2277) without the 27-step weight sweep over
+    # (BT, n, 15) masks.  With a shared geometry (mega launches) the
+    # one-hot is built once per position and contracted against every
+    # bin's table in one MXU pass.
     rbs_row = rbs_wt[bin_idx]                          # (BT, 28)
-    wi_row = sd_wi[bin_idx]                            # (BT, 30, 4096)
-    code_g = jnp.take(g_code, gidx, axis=0)            # (BT, n, 15)
-    ok_g = jnp.take(g_ok, gidx, axis=0)
+    wi_row = sd_wi[bin_idx]                            # (BT, 15, 4096)
+    shared = g_code.shape[0] == 1
+    if not shared:
+        code_g = jnp.take(g_code, gidx, axis=0)        # (BT, n, 15)
+        ok_g = jnp.take(g_ok, gidx, axis=0)
     rbs0 = jnp.zeros((BT, n), jnp.int32)
     rbs1 = jnp.zeros((BT, n), jnp.int32)
     for p in range(15):
-        cp = code_g[:, :, p]
-        okp = ok_g[:, :, p]
-        w0p = _lookup64(wi_row[:, p], cp).astype(jnp.int32)
-        w1p = _lookup64(wi_row[:, 15 + p], cp).astype(jnp.int32)
+        if shared:
+            vp = _lookup64_shared(wi_row[:, p], g_code[0, :, p])
+            okp = g_ok[0:1, :, p]
+        else:
+            vp = _lookup64(wi_row[:, p], code_g[:, :, p])
+            okp = ok_g[:, :, p]
+        # unpack (exact in f32: vp <= 27*32+27, /32 is a power-of-two
+        # scale, so floor/sub reproduce the integer pair bit-for-bit)
+        w0p = jnp.floor(vp * (1.0 / 32.0))
+        w1p = (vp - w0p * 32.0).astype(jnp.int32)
+        w0p = w0p.astype(jnp.int32)
         rbs0 = jnp.maximum(rbs0, jnp.where(okp, w0p, 0))
         rbs1 = jnp.maximum(rbs1, jnp.where(okp, w1p, 0))
     w0 = _row_lookup_small(rbs_row, rbs0, 28)

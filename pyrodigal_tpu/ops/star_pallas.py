@@ -305,15 +305,13 @@ def _dc_chain_kernel(hi_ref, lo_ref, t_ref, o_ref, carry, *, T, B):
     ohh = (i64 == hi).astype(jnp.float32)          # (64h, T)
     ohl = (i64 == lo).astype(jnp.float32)          # (64l, T)
 
-    vals = []
-    for b in range(B):
-        Trb = t_ref[b]                             # (64h, 64l)
-        rows = jax.lax.dot_general(
-            Trb, ohh, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)    # (64l, T)
-        vals.append(jnp.sum(rows * ohl, axis=0, keepdims=True))
-    x = jnp.concatenate(vals, axis=0)              # (B, T)
+    # t_ref is pre-transposed to (B*64l, 64h): ONE (B*64, 64) x (64, T)
+    # MXU pass replaces B sequential 64x64 dots (4x better utilization)
+    rows = jax.lax.dot_general(
+        t_ref[...], ohh, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)        # (B*64l, T)
+    x = jnp.sum(rows.reshape(B, 64, T) * ohl[None], axis=1)   # (B, T)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
@@ -361,11 +359,12 @@ def dc_phase_cumsum(table, codes, TILE=2048):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 64, 64), lambda g: (0, 0, 0),
+            pl.BlockSpec((B * 64, 64), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, TILE), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, 128), jnp.float32)],
-    )(hi, lo, table.reshape(B, 64, 64))
+    )(hi, lo,
+      table.reshape(B, 64, 64).transpose(0, 2, 1).reshape(B * 64, 64))
