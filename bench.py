@@ -76,22 +76,27 @@ def main():
 
     base = [r.seq for n in WORKLOAD for r in parse(data(n))]
     finder = GeneFinder(meta=True)
+    work = base * REPLICAS
 
-    # warmup (compiles every bucket combination the workload uses)
+    # warmup on the FULL workload (the packed-launch buckets depend on
+    # the whole batch, so warming a subset would leave compiles inside
+    # the timed passes)
     t0 = time.time()
-    warm = finder.find_genes_batch(base)
+    warm = finder.find_genes_batch(work)
     warmup_s = time.time() - t0
 
-    # timed run: natural contigs, unchopped; best of two passes (the
-    # remote-TPU tunnel shows bimodal contention noise between runs)
-    work = base * REPLICAS
+    # timed run: natural contigs, unchopped; MEDIAN of three passes (the
+    # remote-TPU tunnel shows bimodal contention noise between runs —
+    # the median is the honest central figure; min/max are reported too)
     total_bp = sum(len(c) for c in work)
-    elapsed = float("inf")
-    for _ in range(2):
+    times = []
+    for _ in range(3):
         t0 = time.time()
         results = finder.find_genes_batch(work)
-        elapsed = min(elapsed, time.time() - t0)
+        times.append(time.time() - t0)
     n_genes = sum(len(g) for g in results)
+    times.sort()
+    elapsed = times[1]
 
     mbps = total_bp / elapsed / 1e6
     out = {
@@ -105,6 +110,8 @@ def main():
         "total_bp": total_bp,
         "genes": n_genes,
         "elapsed_s": round(elapsed, 2),
+        "elapsed_min_s": round(times[0], 2),
+        "elapsed_max_s": round(times[-1], 2),
         "warmup_s": round(warmup_s, 2),
         "warm_genes": sum(len(g) for g in warm),
     }

@@ -761,13 +761,18 @@ def _dp_kernel_mega(  # noqa: C901
             # O(1): gene register (same-frame fwd starts with
             # ndx > stop_val[i]) + operon register (fwd stops via the
             # star table) — both maintained with exactly that range by
-            # the reset-on-frame-stop rule below
+            # the reset-on-frame-stop rule below.  The j >= win_lo guard
+            # is vacuous within a contig (the reference's giant-ORF
+            # window extension always covers the full ORF) and filters
+            # stale cross-contig entries in packed launches.
             gv = regsel(r_val, 0, i_fr)
             gj = regsel(r_idx, 0, i_fr)
             gn = regsel(r_ndx, 0, i_fr)
             ov = regsel(r_val, 3, i_fr)
             oj = regsel(r_idx, 3, i_fr)
             on = regsel(r_ndx, 3, i_fr)
+            gv = jnp.where(gj >= win_lo_g, gv, INT_NEG)
+            ov = jnp.where(oj >= win_lo_g, ov, INT_NEG)
             neg1 = jnp.full((B,), -1, jnp.int32)
             return lexmax((gv, gj, neg1, gn), (ov, oj, neg1, on))
 
@@ -781,7 +786,7 @@ def _dp_kernel_mega(  # noqa: C901
             rn = regsel(r_ndx, 6, i_fr)
             rsv = r_sv[6 + i_fr]
             csq = quant(cs_i)[:, 0]                     # (B,)
-            valid = rsv > i_ndx
+            valid = (rsv > i_ndx) & (rj >= win_lo_g)
             cand_r = (jnp.where(valid, rv + csq, INT_NEG),
                       jnp.where(valid, rj, -1),
                       jnp.full((B,), -1, jnp.int32),
@@ -982,8 +987,10 @@ def _dp_kernel_mega(  # noqa: C901
                                 upd_rev_start, upd_rev_stop])
         return 0
 
-    steps = jnp.clip(nn_ref[0] - base_i, 0, TILE)
-    jax.lax.fori_loop(0, steps, body, 0)
+    # per-tile real-node count (real nodes are a tile prefix by
+    # construction: single geometries are front-compacted, packed
+    # geometries pad each contig's node range to a tile multiple)
+    jax.lax.fori_loop(0, nn_ref[t], body, 0)
 
     # flush this tile's DP state to the outputs
     score_out[...] = b_score[:, PREF:]
@@ -1068,12 +1075,18 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
 
 def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
                   sp, st_wt, NT, interpret=False, star_span=None,
-                  tables=None, fxs=FXS):
-    """`_dp_core` for one long contig: same derived star tables, then the
-    node-axis-gridded kernel.  All arrays are (B, NT) with the real nodes
-    in the first `nn` columns; traceback values come back as global node
-    indices (no front padding).  `tables` short-circuits the star-table
-    gather when the fused star_pallas kernel already built them."""
+                  tables=None, fxs=FXS, node_bounds=None,
+                  monotonic_ndx=False):
+    """`_dp_core` for one long contig — or a PACK of contigs laid out
+    end-to-end on the node axis (each contig's node range padded to a
+    kernel-tile multiple, kind-4 pads as a per-tile suffix; window bounds
+    and the kernel's register/ring guards keep the DPs independent).
+    Same derived star tables, then the node-axis-gridded kernel.  All
+    arrays are (B, NT); traceback values come back as global node indices
+    (no front padding).  `tables` short-circuits the star-table gather
+    when the fused star_pallas kernel already built them.  With
+    `node_bounds` ((C2+1,) int32 contig node offsets) the best terminal
+    path score is reduced per contig range → (C2, B)."""
     B, n = ndx.shape
     assert n == NT
     kind = 2 * (strand != 1).astype(jnp.int32) + (typ == STOP)
@@ -1110,12 +1123,20 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
             t_ndx.append(jnp.where(okm, g_ndx, 0))
 
     kind4 = jnp.where(valid != 0, kind, 4)
-    nn = jnp.sum((valid[0] != 0).astype(jnp.int32))[None].astype(jnp.int32)
+    # per-tile real-node counts (real nodes are a prefix of each tile)
+    tile_nn = jnp.sum((valid[0] != 0).reshape(NT // MEGA_TILE, MEGA_TILE)
+                      .astype(jnp.int32), axis=1)
 
     # kind-2 overlap-window offsets: first node with ndx >= stop_val[i]-3
     # (the fwd-stop sources of a rev-start target all satisfy
-    # ndx > stop_val[i]-4; padding keys sort last)
-    sort_key = jnp.where(valid[0] != 0, ndx[0], 2 ** 30)
+    # ndx > stop_val[i]-4).  Single geometries pad with zeros as a
+    # suffix (keys substituted to sort last); packed geometries carry
+    # monotonic duplicate ndx in their interior pads, so the raw row is
+    # already sorted and duplicate keys cannot shift the result
+    if monotonic_ndx:
+        sort_key = ndx[0]
+    else:
+        sort_key = jnp.where(valid[0] != 0, ndx[0], 2 ** 30)
     ovlo = jnp.searchsorted(sort_key, stop_val[0] - 3,
                             method="sort").astype(jnp.int32)
     # does any fwd stop fall in (stop_val-4, stop_val+195)?  exact gate
@@ -1139,9 +1160,18 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
            has_ov[None]]
     )
     score_fx, traceb, ov, _ = _run_kernel_mega(
-        args, nn, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,
+        args, tile_nn, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,
         MEGA_CHUNKS, fxs, interpret)
     score = score_fx.astype(jnp.float32) * (1.0 / fxs)
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))
-    best = jnp.max(jnp.where(terminal, score, -1.0), axis=1)
+    tscore = jnp.where(terminal, score, -1.0)
+    if node_bounds is None:
+        best = jnp.max(tscore, axis=1)                       # (B,)
+    else:
+        iidx2 = jnp.arange(NT)[None, :]
+        best = jnp.stack([
+            jnp.max(jnp.where((iidx2 >= node_bounds[c])
+                              & (iidx2 < node_bounds[c + 1]),
+                              tscore, -1.0), axis=1)
+            for c in range(node_bounds.shape[0] - 1)])       # (C2, B)
     return score, traceb, ov, best

@@ -89,6 +89,17 @@ class TpuMetaRunner:
                10616832, 13172736, 17301504)
     MEGA_FXS_LIMIT = 8650752        # FXS=2048 below, 1024 above
     MEGA_SW = 131072        # per-2048-node-tile sequence span bound
+    # packed-launch buckets: bin-row union per launch and contig count
+    # (24 rows is the widest the DP kernel's VMEM scratch accommodates)
+    MEGA_ROWB = (8, 16, 24)
+    # per-launch packing caps: sized so a launch stays ~100-300 ms of
+    # device time — big enough to amortize the ~20 ms tunnel dispatch,
+    # small enough that launches, pulls and exact-C winner finishing
+    # pipeline against each other (a single over-cap contig still gets
+    # its own launch, bounded by MEGA_NT/MEGA_SB)
+    MEGA_PACK_NB = 196608
+    MEGA_PACK_SB = 4718592
+    MEGA_CP = (1, 2, 4, 8, 12, 16)
 
     @staticmethod
     def _tile_span(ndx, nn, T=2048):
@@ -242,7 +253,9 @@ class TpuMetaRunner:
 
     def _sweep_mega(self, g, bin_rows):
         """One mega launch: one Mbp-scale geometry, <= 16 bins as rows.
-        Returns (device handle, NT bucket)."""
+        Returns (device handle, NT bucket).  Kept for single geometries
+        that ship a gap-compacted window source (see _compactify) — all
+        other mega work goes through the packed `_sweep_mega_multi`."""
         NT = next(b for b in self.MEGA_NT if b >= g["nn"])
         SB = next(b for b in self.MEGA_SB if b >= g["slen"])
         BT = 16
@@ -275,6 +288,82 @@ class TpuMetaRunner:
             max_overlap=self.max_overlap, NB=NT, fxs=fxs,
             interpret=self.interpret)
         return dev, NT
+
+    @staticmethod
+    def _mega_regions(g):
+        T = dp_pallas.MEGA_TILE
+        return (-(-g["nn"] // T) * T,
+                (g["slen"] + 383) // 384 * 384 + 384)
+
+    def _mega_fits(self, gr, it, nreg, sreg):
+        return (len(gr["rows"] | set(it["rows"])) <= self.MEGA_ROWB[-1]
+                and gr["nb"] + nreg <= self.MEGA_PACK_NB
+                and gr["sb"] + sreg <= self.MEGA_PACK_SB
+                and len(gr["items"]) < self.MEGA_CP[-1])
+
+    def _mega_add(self, open_groups, it):
+        """Streaming packer: place a mega work item into an open group
+        (first fit), or open a new one; returns any group that became
+        unreachable and should be dispatched now.  Groups are bounded by
+        the row-union bucket, the per-launch packing caps and the
+        contig-count bucket."""
+        nreg, sreg = self._mega_regions(it["g"])
+        for gr in open_groups:
+            if self._mega_fits(gr, it, nreg, sreg):
+                gr["items"].append(it)
+                gr["rows"] |= set(it["rows"])
+                gr["nb"] += nreg
+                gr["sb"] += sreg
+                return None
+        open_groups.append({"items": [it], "rows": set(it["rows"]),
+                            "nb": nreg, "sb": sreg})
+        # cap the number of concurrently-open groups: dispatch the
+        # oldest once a third distinct signature shows up
+        if len(open_groups) > 2:
+            return open_groups.pop(0)
+        return None
+
+    def _group_mega(self, items):
+        """Batch variant of the streaming packer (used by tests and the
+        non-streaming callers): returns the launch groups in order."""
+        open_groups, out = [], []
+        for it in items:
+            full = self._mega_add(open_groups, it)
+            if full is not None:
+                out.append(full)
+        return out + open_groups
+
+    def _sweep_mega_multi(self, items):
+        """One PACKED mega launch: several contig geometries end-to-end
+        on the node + sequence axes, the bin-row union as rows.  Returns
+        (device handle, rows, CP, B) for the (CP, B) best-score demux."""
+        T = dp_pallas.MEGA_TILE
+        nb = sum(-(-it["g"]["nn"] // T) * T for it in items)
+        sb = sum((it["g"]["slen"] + 383) // 384 * 384 + 384
+                 for it in items)
+        NT = next(b for b in self.MEGA_NT if b >= nb)
+        SB = next(b for b in self.MEGA_SB if b >= sb)
+        CP = next(c for c in self.MEGA_CP if c >= len(items))
+        rows = sorted({b for it in items for b in it["rows"]})
+        B = next(b for b in self.MEGA_ROWB if b >= len(rows))
+        packed = sd.pack_geometries_multi([it["g"] for it in items],
+                                          NT, SB, CP, T)
+        bin_idx = np.full(B, rows[0], np.int32)
+        bin_idx[:len(rows)] = rows
+        geo = {k: jnp.asarray(v) for k, v in packed.items()}
+        nonsd = bool((self.tables.uses_sd_np[rows] == 0).any())
+        fxs = dp_pallas.FXS \
+            if max(it["g"]["slen"] for it in items) <= self.MEGA_FXS_LIMIT \
+            else dp_pallas.FXS // 2
+        dev = sd.score_dp_launch_mega(
+            self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
+            jnp.asarray(np.zeros(B, np.int32)),
+            jnp.asarray(np.zeros(B, np.int32)),
+            is_meta=self.is_meta, closed=self.closed, S3=SB // 3,
+            has_nonsd=nonsd, relk=self.relk,
+            max_overlap=self.max_overlap, NB=NT, fxs=fxs,
+            interpret=self.interpret)
+        return dev, rows, CP, B
 
     # -- finishing (host, exact C on the winning bin) -------------------------
 
@@ -395,7 +484,15 @@ class TpuMetaRunner:
         futures = {}
         per_contig = []
         mega_launches = []
+        mega_groups = []         # dispatched packed launches, FIFO
+        mega_open = []           # open (still packing) groups
+        mega_pending = {}        # ci -> un-pulled mega item count
         nodes_maps = {}
+
+        def dispatch_group(gr):
+            gr["fut"] = self.pool.submit(self._sweep_mega_multi,
+                                         gr["items"])
+            mega_groups.append(gr)
         for ci, fut in enumerate(preps):
             cand, geoms, nodes_by_tt, route = fut.result()
             if route == "c":
@@ -405,26 +502,38 @@ class TpuMetaRunner:
                 futures[ci] = self.pool.submit(
                     self._produce_empty, contigs[ci], num_seq_start + ci)
             elif route == "mega":
-                # dispatch immediately — the device works on this contig
-                # while later preps still run on the pool
                 nodes_maps[ci] = nodes_by_tt
                 by_tt = {}
                 for b in cand:
                     tt = self.bins[b].training_info.translation_table
                     by_tt.setdefault(tt, []).append(b)
-                entries = []
                 for tt, bs in by_tt.items():
-                    for base in range(0, len(bs), 16):
-                        rows = bs[base:base + 16]
-                        # dispatch on the pool: first-call compilation of
-                        # distinct bucket combos then proceeds in parallel
-                        fut = self.pool.submit(self._sweep_mega,
-                                               geoms[tt], rows)
-                        entries.append({"fut": fut, "rows": rows})
-                mega_launches.append((ci, entries))
+                    g = geoms[tt]
+                    if "cdigits" in g:
+                        # gap-compacted window sources are per-contig:
+                        # keep the single-geometry launch for those
+                        entries = []
+                        for base in range(0, len(bs), 16):
+                            rows = bs[base:base + 16]
+                            fut = self.pool.submit(self._sweep_mega, g,
+                                                   rows)
+                            entries.append({"fut": fut, "rows": rows})
+                        mega_launches.append((ci, entries))
+                    else:
+                        # streaming packer: groups dispatch as they fill,
+                        # so the device works while later preps run
+                        mega_pending[ci] = mega_pending.get(ci, 0) + 1
+                        full = self._mega_add(
+                            mega_open, {"ci": ci, "g": g, "rows": bs})
+                        if full is not None:
+                            dispatch_group(full)
             else:
                 nodes_maps[ci] = nodes_by_tt
                 per_contig.append((ci, cand, geoms, nodes_by_tt))
+
+        # flush the still-open packed groups
+        for gr in mega_open:
+            dispatch_group(gr)
 
         # pack launches: a contig's bins never split across launches, and
         # each contig takes one winner slot (slots <= max_geoms because
@@ -468,11 +577,25 @@ class TpuMetaRunner:
                     self._produce_winner, contigs[ci], num_seq_start + ci,
                     cands, nodes_maps[ci])
 
-        # mega launches were dispatched first (during prep) — pull them
-        # first so the big contigs' host finishing starts while the device
-        # still runs the std launches
-        for ci, entries in mega_launches:
-            cands = []
+        # mega launches were dispatched first — pull them in dispatch
+        # order, handing each contig to the exact-C winner finishing as
+        # soon as its LAST item arrives, while the device still runs
+        # later launches
+        mega_cands = {}
+        compacted_cis = {ci for ci, _e in mega_launches}
+        for gr in mega_groups:
+            dev, rows, CP, B = gr["fut"].result()
+            bests = np.asarray(dev).view(np.float32).reshape(CP, B)
+            pos = {b: i for i, b in enumerate(rows)}
+            for k, it in enumerate(gr["items"]):
+                ci = it["ci"]
+                mega_cands.setdefault(ci, []).extend(
+                    (b, float(bests[k, pos[b]])) for b in it["rows"])
+                mega_pending[ci] -= 1
+                if mega_pending[ci] == 0 and ci not in compacted_cis:
+                    submit(ci, mega_cands.pop(ci))
+        for ci, entries in mega_launches:      # compacted singles
+            cands = mega_cands.pop(ci, [])
             for e in entries:
                 dev, _NT = e["fut"].result()
                 bests = np.asarray(dev).view(np.float32)

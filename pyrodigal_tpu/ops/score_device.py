@@ -226,6 +226,68 @@ def pack_geometries(geoms, G, n, S):
     return out
 
 
+def pack_geometries_multi(geoms, NT, SB, CP, tile):
+    """Lay several contig geometries end-to-end into ONE mega-kernel
+    geometry (G = 1): node ranges are padded to `tile` multiples (so
+    kernel tiles and the node-tile window gathers never straddle two
+    contigs) and sequence ranges to 384-byte regions with a >= 384-zero
+    gap (so no scoring window, star candidate, or intergenic test can
+    reach across — max_overlap and every window span are < 384 bp).
+
+    Positions/ndx/stop_val are globalized by each contig's sequence
+    offset, win_lo by its node offset; interior node pads carry kind-4
+    sentinels with MONOTONIC duplicate ndx (keeps the kind-2 overlap
+    searchsorted exact).  Extra rows vs `pack_geometries`: "loc"/"lslen"
+    (per-node local coordinate + contig length, for the slen-dependent
+    scoring rules), "blo"/"bhi" (contig sequence bounds, for the m6r
+    in-contig mask) and "nbound" (CP+1 node-range offsets, for the
+    per-contig terminal reduction)."""
+    C2 = len(geoms)
+    assert C2 <= CP
+    out = {
+        "n32": np.zeros((len(GEO_I32), 1, NT), np.int32),
+        "n8": np.zeros((len(GEO_I8), 1, NT), np.int8),
+        "digits": np.zeros((1, SB), np.uint8),
+        "slen": np.zeros(1, np.int32),
+        "loc": np.zeros((1, NT), np.int32),
+        "lslen": np.zeros((1, NT), np.int32),
+        "blo": np.zeros(CP, np.int32),
+        "bhi": np.zeros(CP, np.int32),
+        "nbound": np.zeros(CP + 1, np.int32),
+    }
+    out["n8"][1] = 1          # strand pad
+    nb = sb = 0
+    last_ndx = 0
+    for k, gd in enumerate(geoms):
+        nn = gd["nn"]
+        sl = slice(nb, nb + nn)
+        out["n32"][0, 0, sl] = gd["ndx"] + sb
+        out["n32"][1, 0, sl] = gd["stop_val"] + sb
+        out["n32"][2, 0, sl] = gd["win_lo"] + nb
+        for fi, f in enumerate(GEO_I8[:-1]):
+            out["n8"][fi, 0, sl] = gd[f]
+        out["n8"][5, 0, sl] = 1                        # valid
+        out["digits"][0, sb:sb + gd["slen"]] = gd["digits"]
+        out["loc"][0, sl] = gd["ndx"]
+        out["lslen"][0, sl] = gd["slen"]
+        out["blo"][k] = sb
+        out["bhi"][k] = sb + gd["slen"]
+        out["nbound"][k] = nb
+        last_ndx = (int(gd["ndx"][nn - 1]) + sb) if nn else last_ndx
+        nreg = -(-nn // tile) * tile
+        pad = slice(nb + nn, nb + nreg)
+        out["n32"][0, 0, pad] = last_ndx               # monotonic dup
+        out["n32"][2, 0, pad] = np.arange(nb + nn, nb + nreg)
+        nb += nreg
+        sb += (gd["slen"] + 383) // 384 * 384 + 384
+    out["n32"][0, 0, nb:] = last_ndx
+    out["n32"][2, 0, nb:] = np.arange(nb, NT)
+    out["nbound"][C2:] = nb
+    out["slen"][0] = sb
+    assert nb <= NT and sb <= SB
+    return out
+
+
 # --------------------------------------------------------------------------
 # the fused scoring + DP launch
 # --------------------------------------------------------------------------
@@ -398,7 +460,17 @@ def _derive_m6(geo):
     m6f = sum((bp[:, k:k + S] << (2 * k)) for k in range(6))
     m6r = sum((bcp[:, 6 - k:6 - k + S] << (2 * k)) for k in range(6))
     pos = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    m6r = jnp.where(pos < geo["slen"][:, None], m6r, 0)
+    if "blo" in geo:
+        # packed multi-contig geometry: zero m6r outside every contig's
+        # [blo, bhi) range (the gap/pad regions), reproducing the
+        # per-contig beyond-slen clipping
+        inc = jnp.zeros((G, S), bool)
+        C2 = geo["blo"].shape[0]
+        for c in range(C2):
+            inc = inc | ((pos >= geo["blo"][c]) & (pos < geo["bhi"][c]))
+        m6r = jnp.where(inc, m6r, 0)
+    else:
+        m6r = jnp.where(pos < geo["slen"][:, None], m6r, 0)
     return m6f, m6r
 
 
@@ -517,11 +589,19 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     n8 = geo["n8"].astype(jnp.int32)
     g_typ, g_strand, g_edge = n8[0], n8[1], n8[2]
     G, n = g_ndx.shape
-    slen = geo["slen"][:, None, None]                  # (G,1,1)
     fwd = (g_strand == 1)[..., None]
     is_start = (g_typ != STOP)[..., None]
     not_edge = (g_edge == 0)[..., None]
     nd = g_ndx[..., None]
+    # validity masks use LOCAL (per-contig) coordinates; for a packed
+    # multi-contig geometry these are shipped per node, otherwise they
+    # coincide with the global ones
+    if "loc" in geo:
+        loc = geo["loc"][..., None]                    # (G, n, 1)
+        lsl = geo["lslen"][..., None]
+    else:
+        loc = nd
+        lsl = jnp.broadcast_to(geo["slen"][:, None, None], nd.shape)
 
     # m6r is zeroed beyond slen, so overflowing reverse-strand reads see
     # code 0 exactly like the clipped-index formulation they replace.
@@ -556,7 +636,7 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     # up per position in _score_items; here only the geometry-shared
     # codes and validity are derived.
     p = jnp.arange(15)[None, None, :]
-    idx = jnp.where(fwd, nd - 20 + p, nd + 20 - p)
+    idx = jnp.where(fwd, loc - 20 + p, loc + 20 - p)
     ok = (idx >= 0) & is_start & not_edge
     code = jnp.where(fwd, Wf[:, :, 28:43], Wr[:, :, 5:20][:, :, ::-1])
     del sd_ex, sd_mm
@@ -565,7 +645,7 @@ def _derive_candidates(geo, m6f, m6r, sd_ex, sd_mm, has_nonsd):
     # (fwd lane 48-k of Wf; rev lane k-1 of Wr)
     ks = jnp.asarray(np.array([1, 2] + list(range(15, 45)),
                               np.int32))[None, None, :]
-    start_coord = jnp.where(fwd, nd, slen - 1 - nd)
+    start_coord = jnp.where(fwd, loc, lsl - 1 - loc)
     uok = (ks <= start_coord) & is_start
     umer_f = jnp.concatenate(
         [Wf[:, :, 46:48][:, :, ::-1], Wf[:, :, 4:34][:, :, ::-1]], axis=2)
@@ -619,7 +699,15 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
         geo, m6f, m6r, sd_ex, sd_mm, has_nonsd)
 
     stw = st_wt_t[bin_idx][:, None]                    # (BT, 1)
-    slen = jnp.take(geo["slen"], gidx)[:, None]        # (BT, 1) int
+    if "loc" in geo:
+        # packed multi-contig geometry: per-node local coordinates and
+        # contig lengths replace the per-geometry slen in every
+        # slen-dependent rule (broadcast (1, n) against (BT, n))
+        loc = geo["loc"]
+        slen = geo["lslen"]
+    else:
+        loc = ndx
+        slen = jnp.take(geo["slen"], gidx)[:, None]    # (BT, 1) int
     slen_f = slen.astype(F32)
     start = (typ != STOP) & (valid != 0)
     stop = (typ == STOP) & (valid != 0)
@@ -828,7 +916,7 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     usc = jnp.where(edgeb, 0.0, u_base + jnp.where(euf != 0,
                                                    EDGE_UPS * stw, 0.0))
     mut = ((not closed) & ~edgeb & start
-           & (((ndx <= 2) & fwd) | ((ndx >= slen - 3) & ~fwd)))
+           & (((loc <= 2) & fwd) | ((loc >= slen - 3) & ~fwd)))
     edge_gene = edge0 + mut.astype(jnp.int32)
     egf = edge_gene.astype(F32)
     tsc = jnp.where(mut, 0.0, tsc)
@@ -859,7 +947,7 @@ def _score_items(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
     if is_meta:
         pen1 = jnp.where(slen > 1500, stw, 10.31 - 0.004 * slen_f)
     else:
-        pen1 = jnp.broadcast_to(stw, slen_f.shape)
+        pen1 = jnp.broadcast_to(stw, b1.shape)
     ssc = jnp.where(b1, ssc - pen1, ssc)
     if is_meta:
         b2 = csneg & ~b1 & (slen < 3000) & edge_eff
@@ -1018,13 +1106,16 @@ def score_dp_launch_packed(tables, geo, bin_idx, gidx, slot_idx, *,
 def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
                          closed, S3, has_nonsd, relk, max_overlap, NB,
                          fxs=dp_pallas.FXS, interpret=False):
-    """One Mbp-scale contig, all candidate bins as rows: fused on-device
-    scoring + the node-axis-gridded mega DP kernel + winner packing.
+    """One Mbp-scale contig — or a PACK of contigs laid end-to-end on
+    the node + sequence axes (geo carries "loc"/"lslen"/"blo"/"bhi"/
+    "nbound", built by pack_geometries_multi) — with the candidate-bin
+    union as rows: fused on-device scoring + the node-axis-gridded mega
+    DP kernel + winner packing.
 
     geo holds ONE geometry (G=1); bin_idx has BT rows (bins, padded);
-    slot_idx is 0 for real bins / 1 for padding.  Returns the (BT,)
-    bitcast best-score vector (padded rows yield garbage scores the
-    caller ignores)."""
+    slot_idx is 0 for real bins / 1 for padding.  Returns the bitcast
+    best-score vector — (BT,) single contig, (CP, BT) packed (padded
+    rows/slots yield garbage scores the caller ignores)."""
     (ndx, stop_val, typ, strand, win_lo, valid,
      cscore, ssc, rsc, usc, edge, stw) = _score_items(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
@@ -1043,7 +1134,8 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
         ndx, stop_val, typ, strand, win_lo, valid,
         cscore + ssc, rsc, usc, star_ptr, stw,
         NB, interpret, star_span=relk + 4,
-        tables=(opv1, val3, t_sv, t_ndx), fxs=fxs)
+        tables=(opv1, val3, t_sv, t_ndx), fxs=fxs,
+        node_bounds=geo.get("nbound"), monotonic_ndx="loc" in geo)
     return pack_winners(score, traceb, ov, best, slot_idx, 0, NB, 1)
 
 

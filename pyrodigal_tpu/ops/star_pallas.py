@@ -159,7 +159,7 @@ def _star_kernel(  # noqa: C901
 
 
 def star_tables_mega(ndx, stop_val, kind4, edge, cs, rsc, usc, st_wt,
-                     relk, max_overlap, interpret=False, TILE=512):
+                     relk, max_overlap, interpret=False, TILE=None):
     """One-geometry (mega) star sweep + tables.
 
     ndx/stop_val/kind4/edge: (1, NT) geometry rows; cs (= cscore+sscore),
@@ -168,6 +168,10 @@ def star_tables_mega(ndx, stop_val, kind4, edge, cs, rsc, usc, st_wt,
     matching score_device's sweep + dp_pallas's gather tables exactly.
     """
     B, NT = cs.shape
+    if TILE is None:
+        # wider row counts (packed launches) shrink the tile so the
+        # kernel's live temporaries stay inside the scoped-VMEM limit
+        TILE = 512 if B <= 16 else 256
     assert NT % TILE == 0, "NT must be a multiple of the star tile"
     n_tiles = NT // TILE
     gmeta = kind4 | jnp.where(edge != 0, 8, 0)

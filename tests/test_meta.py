@@ -303,6 +303,46 @@ def test_many_tiny_contigs_batch(data):
 
 
 @needs_bins
+def test_mega_route_packed_multi_contig(data):
+    """Several mega-route contigs pack into ONE launch (node + sequence
+    axes end-to-end, bin-row union as rows, per-contig terminal
+    reduction).  The packed sweep must select the same winning bin and
+    genes for every contig as the sequential C meta path — including
+    contigs of different GC (different candidate-bin sets) and open
+    ends (edge nodes at both contig boundaries)."""
+    pytest.importorskip("jax")
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+
+    srr = list(parse(data("SRR492066.fna.gz")))[0].seq
+    miij = list(parse(data("MIIJ01000039.fna.gz")))[0].seq
+    contigs = [srr[:30000], miij[:24000], srr[30000:54000]]
+
+    p = GeneFinder(meta=True, backend="refcore")
+    seq_results = [p.find_genes(c) for c in contigs]
+
+    runner = TpuMetaRunner(METAGENOMIC_BINS, seq_bucket=2048,
+                           interpret=True)
+    packed_results = runner.find_genes_batch(contigs)
+    # the runner really packed them into one launch
+    groups = runner._group_mega([
+        {"ci": i, "g": runner._prepare_contig(
+            __import__("pyrodigal_tpu").sequence.Sequence(c))[1][11],
+         "rows": runner._candidate_bins(
+             __import__("pyrodigal_tpu").sequence.Sequence(c))}
+        for i, c in enumerate(contigs)])
+    assert len(groups) < len(contigs)
+    assert max(len(g["items"]) for g in groups) >= 2
+
+    for a, b in zip(seq_results, packed_results):
+        assert b.metagenomic_bin.description == \
+            a.metagenomic_bin.description
+        assert [(g.begin, g.end, g.strand) for g in b] == \
+            [(g.begin, g.end, g.strand) for g in a]
+        assert all(x._gene_data(1) == y._gene_data(1)
+                   for x, y in zip(a, b))
+
+
+@needs_bins
 def test_mega_route_fxs_rescale(data):
     """Contigs past MEGA_FXS_LIMIT run the mega DP at half fixed-point
     scale (FXS=1024) to double the score range (the >13 Mbp ceiling);
