@@ -293,10 +293,16 @@ def phase_cumsum(x, interpret=False, TILE=2048):
 def _dc_chain_kernel(hi_ref, lo_ref, t_ref, o_ref, carry, *, T, B):
     """Fused hexamer-table lookup + mod-3 phase prefix sum for one tile.
 
-    hi/lo: (1, T) int32 code halves (shared geometry row); t_ref:
-    (B, 4096) per-bin table.  The 64x64 one-hot contraction runs per bin
-    row on the MXU with (64, T)-oriented one-hots (no in-kernel
-    transposes), so the (T, 64) row intermediate never touches HBM."""
+    hi/lo: (1, T) int32 code parts, split 7/5 (hi = code >> 5) so the
+    one-hot contraction's K dimension is a full 128 — the 6/6 split
+    padded K 64->128 on the MXU and doubled the effective MACs; t_ref:
+    (B, 4096) per-bin table pre-reshaped to (B*32lo, 128hi).
+
+    The phase prefix sum runs as ONE stride-3 log-shift scan (shifts
+    3*2^k): a stride-3 inclusive scan sums exactly the same-phase
+    prefix, with no per-phase masking or recombination (3x fewer vector
+    ops than three masked scans).  Association order differs from
+    jnp.cumsum — inside the scoring drift contract."""
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -305,38 +311,41 @@ def _dc_chain_kernel(hi_ref, lo_ref, t_ref, o_ref, carry, *, T, B):
 
     hi = hi_ref[...]                     # (1, T)
     lo = lo_ref[...]
-    i64 = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
-    ohh = (i64 == hi).astype(jnp.float32)          # (64h, T)
-    ohl = (i64 == lo).astype(jnp.float32)          # (64l, T)
+    i128 = jax.lax.broadcasted_iota(jnp.int32, (128, T), 0)
+    i32 = jax.lax.broadcasted_iota(jnp.int32, (32, T), 0)
+    ohh = (i128 == hi).astype(jnp.float32)         # (128h, T)
+    ohl = (i32 == lo).astype(jnp.float32)          # (32l, T)
 
-    # t_ref is pre-transposed to (B*64l, 64h): ONE (B*64, 64) x (64, T)
-    # MXU pass replaces B sequential 64x64 dots (4x better utilization)
     rows = jax.lax.dot_general(
         t_ref[...], ohh, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)        # (B*64l, T)
-    x = jnp.sum(rows.reshape(B, 64, T) * ohl[None], axis=1)   # (B, T)
+        preferred_element_type=jnp.float32)        # (B*32l, T)
+    x = jnp.sum(rows.reshape(B, 32, T) * ohl[None], axis=1)   # (B, T)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     ph = (lane + (g * T) % 3) % 3
     c = carry[...]
-    outs = []
-    tots = []
-    for r in range(3):
-        v = jnp.where(ph == r, x, 0.0)
-        tots.append(jnp.sum(v, axis=1))
-        s = v
-        sh = 1
-        while sh < T:
-            rolled = pltpu.roll(s, sh, axis=1)
-            s = s + jnp.where(lane >= sh, rolled, 0.0)
-            sh *= 2
-        cr = jnp.sum(jnp.where(l128 == r, c, 0.0), axis=1)
-        outs.append(s + cr[:, None])
-    o_ref[...] = jnp.where(ph == 0, outs[0],
-                           jnp.where(ph == 1, outs[1], outs[2]))
-    upd = sum((l128 == r) * tots[r][:, None] for r in range(3))
+    s = x
+    sh = 3
+    while sh < T:
+        rolled = pltpu.roll(s, sh, axis=1)
+        s = s + jnp.where(lane >= sh, rolled, 0.0)
+        sh *= 2
+    # incoming carry: add this row's phase total from the previous tiles
+    c0 = jnp.sum(jnp.where(l128 == 0, c, 0.0), axis=1)[:, None]
+    c1 = jnp.sum(jnp.where(l128 == 1, c, 0.0), axis=1)[:, None]
+    c2 = jnp.sum(jnp.where(l128 == 2, c, 0.0), axis=1)[:, None]
+    o_ref[...] = s + jnp.where(ph == 0, c0, jnp.where(ph == 1, c1, c2))
+    # new carry: the inclusive scan's last three lanes hold the three
+    # phase totals of this tile (lane T-1-k has phase (T-1-k+off)%3)
+    tail = s[:, T - 128:]
+    lt = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+    upd = jnp.zeros((B, 128), jnp.float32)
+    for k in range(3):
+        tot = jnp.sum(jnp.where(lt == 127 - k, tail, 0.0), axis=1)
+        phk = (T - 1 - k + (g * T) % 3) % 3
+        upd = upd + jnp.where(l128 == phk, tot[:, None], 0.0)
     carry[...] = c + upd
 
 
@@ -352,8 +361,8 @@ def dc_phase_cumsum(table, codes, TILE=2048):
     B = table.shape[0]
     S = codes.shape[1]
     assert S % TILE == 0
-    hi = (codes >> 6).astype(jnp.int32)
-    lo = (codes & 63).astype(jnp.int32)
+    hi = (codes >> 5).astype(jnp.int32)
+    lo = (codes & 31).astype(jnp.int32)
     kernel = functools.partial(_dc_chain_kernel, T=TILE, B=B)
     return pl.pallas_call(
         kernel,
@@ -363,7 +372,7 @@ def dc_phase_cumsum(table, codes, TILE=2048):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B * 64, 64), lambda g: (0, 0),
+            pl.BlockSpec((B * 32, 128), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, TILE), lambda g: (0, g),
@@ -371,4 +380,4 @@ def dc_phase_cumsum(table, codes, TILE=2048):
         out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
         scratch_shapes=[pltpu.VMEM((B, 128), jnp.float32)],
     )(hi, lo,
-      table.reshape(B, 64, 64).transpose(0, 2, 1).reshape(B * 64, 64))
+      table.reshape(B, 128, 32).transpose(0, 2, 1).reshape(B * 32, 128))
