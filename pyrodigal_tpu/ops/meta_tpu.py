@@ -346,6 +346,9 @@ class TpuMetaRunner:
         CP = next(c for c in self.MEGA_CP if c >= len(items))
         rows = sorted({b for it in items for b in it["rows"]})
         B = next(b for b in self.MEGA_ROWB if b >= len(rows))
+        if self.mesh is not None:
+            D = self.mesh.devices.size
+            B = -(-B // D) * D          # row shards must split evenly
         packed = sd.pack_geometries_multi([it["g"] for it in items],
                                           NT, SB, CP, T)
         bin_idx = np.full(B, rows[0], np.int32)
@@ -355,14 +358,20 @@ class TpuMetaRunner:
         fxs = dp_pallas.FXS \
             if max(it["g"]["slen"] for it in items) <= self.MEGA_FXS_LIMIT \
             else dp_pallas.FXS // 2
-        dev = sd.score_dp_launch_mega(
-            self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
-            jnp.asarray(np.zeros(B, np.int32)),
-            jnp.asarray(np.zeros(B, np.int32)),
+        kwargs = dict(
             is_meta=self.is_meta, closed=self.closed, S3=SB // 3,
             has_nonsd=nonsd, relk=self.relk,
             max_overlap=self.max_overlap, NB=NT, fxs=fxs,
             interpret=self.interpret)
+        args = (self.tables.as_tuple(), geo, jnp.asarray(bin_idx),
+                jnp.asarray(np.zeros(B, np.int32)),
+                jnp.asarray(np.zeros(B, np.int32)))
+        if self.mesh is not None:
+            from ..parallel.meta_shard import sharded_score_dp_launch_mega
+
+            dev = sharded_score_dp_launch_mega(self.mesh, *args, **kwargs)
+        else:
+            dev = sd.score_dp_launch_mega(*args, **kwargs)
         return dev, rows, CP, B
 
     # -- finishing (host, exact C on the winning bin) -------------------------

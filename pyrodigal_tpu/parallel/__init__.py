@@ -11,21 +11,18 @@ equivalents implemented here:
 * trained models / metagenomic bins are replicated.
 """
 
-from .mesh import (
-    make_mesh,
-    hexamer_background_counts,
-    distributed_training_step,
-    distributed_training_tallies,
-    sharded_dp,
+from .mesh import make_mesh, sharded_dp
+from .meta_shard import (
+    sharded_score_dp_launch_packed,
+    sharded_score_dp_launch_mega,
 )
 from .train import train_distributed, sharded_background_counts
 
 __all__ = [
     "make_mesh",
-    "hexamer_background_counts",
-    "distributed_training_step",
-    "distributed_training_tallies",
     "sharded_dp",
+    "sharded_score_dp_launch_packed",
+    "sharded_score_dp_launch_mega",
     "train_distributed",
     "sharded_background_counts",
 ]

@@ -67,3 +67,34 @@ def sharded_score_dp_launch_packed(mesh, tables, geo, bin_idx, gidx,
         return sd.pack_winners(score, traceb, ov, best, slot_idx_, W, NB, C)
 
     return run(tables, geo, bin_idx, gidx, slot_idx)
+
+
+def sharded_score_dp_launch_mega(mesh, tables, geo, bin_idx, gidx,
+                                 slot_idx, *, is_meta, closed, S3,
+                                 has_nonsd, relk, max_overlap, NB, fxs,
+                                 interpret=False):
+    """The mega (node-axis-gridded) sweep with the BIN-row axis sharded
+    over the mesh: the geometry and bin tables are replicated, each
+    device scores + DPs its slice of candidate-bin rows (the rows are
+    fully independent models of the same contig pack), and the per-row
+    best scores come back sharded — a row-parallel analog of the
+    reference's sequential bin sweep (lib.pyx:5339-5374).  The row count
+    must be divisible by the mesh size."""
+    packed = "nbound" in geo
+    out_spec = P(None, CONTIG_AXIS) if packed else P(CONTIG_AXIS)
+    repl = lambda tree: jax.tree.map(lambda _: P(), tree)   # noqa: E731
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(repl(tables), repl(geo), P(CONTIG_AXIS), P(CONTIG_AXIS),
+                  P(CONTIG_AXIS)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def run(tables_, geo_, bin_idx_, gidx_, slot_idx_):
+        return sd.score_dp_launch_mega(
+            tables_, geo_, bin_idx_, gidx_, slot_idx_, is_meta=is_meta,
+            closed=closed, S3=S3, has_nonsd=has_nonsd, relk=relk,
+            max_overlap=max_overlap, NB=NB, fxs=fxs, interpret=interpret)
+
+    return run(tables, geo, bin_idx, gidx, slot_idx)

@@ -7,8 +7,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from pyrodigal_tpu.parallel import (  # noqa: E402
-    make_mesh, distributed_training_step, hexamer_background_counts,
-    sharded_dp,
+    make_mesh, sharded_background_counts, sharded_dp,
 )
 
 
@@ -18,26 +17,25 @@ def test_mesh_uses_all_devices():
 
 
 def test_hexamer_counts_psum():
-    """Count tables from sharded contigs must equal the serial tally."""
+    """The PRODUCT background tally (sharded_background_counts, the same
+    psum-merged scan train_distributed uses) must equal a serial
+    hexamer tally of both strands."""
     mesh = make_mesh()
-    n_dev = mesh.devices.size
-    G, L = n_dev * 2, 300
     rng = np.random.default_rng(1)
-    digits = rng.integers(0, 4, size=(G, L)).astype(np.uint8)
-    comp = (digits ^ 3)[:, ::-1].copy()
+    L = 3000
+    digits = rng.integers(0, 4, size=L).astype(np.uint8)
 
-    counts = np.asarray(distributed_training_step(
-        mesh, jnp.asarray(digits), jnp.asarray(comp)))
+    counts = np.asarray(sharded_background_counts(mesh, digits))
 
+    comp = (3 - digits)[::-1]
     serial = np.zeros(4096, np.int64)
-    for g in range(G):
-        for strandarr in (digits[g], comp[g]):
-            for i in range(L - 5):
-                idx = 0
-                for j in range(6):
-                    idx |= (int(strandarr[i + j]) & 3) << (2 * j)
-                serial[idx] += 1
-    assert counts.sum() == serial.sum() == G * 2 * (L - 5)
+    for strandarr in (digits, comp):
+        for i in range(L - 5):
+            idx = 0
+            for j in range(6):
+                idx |= (int(strandarr[i + j]) & 3) << (2 * j)
+            serial[idx] += 1
+    assert counts.sum() == serial.sum() == 2 * (L - 5)
     assert np.array_equal(counts, serial)
 
 
@@ -129,6 +127,41 @@ def test_sharded_meta_runner_matches_c_path(data):
 
     runner = TpuMetaRunner(METAGENOMIC_BINS, node_bucket=2048,
                            batch_size=64, block_size=8, mesh=mesh,
+                           interpret=True)
+    sharded = runner.find_genes_batch(seqs)
+    for a, b in zip(anchor, sharded):
+        assert b.metagenomic_bin.description == a.metagenomic_bin.description
+        assert [(g.begin, g.end, g.strand) for g in b] == \
+            [(g.begin, g.end, g.strand) for g in a]
+        assert all(x._gene_data(1) == y._gene_data(1) for x, y in zip(a, b))
+
+
+def test_sharded_mega_route_matches_c_path(data):
+    """The MEGA route under a mesh shards the candidate-bin rows over the
+    devices (row-parallel model sweep, geometry replicated); a
+    >seq_bucket contig through `TpuMetaRunner(mesh=...)` must reproduce
+    the sequential C meta path gene-for-gene."""
+    import pytest as _pytest
+    from pyrodigal_tpu import GeneFinder
+    from pyrodigal_tpu.fasta import parse
+    from pyrodigal_tpu.metagenomic import METAGENOMIC_BINS
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+    from pyrodigal_tpu.parallel import make_mesh
+
+    if len(METAGENOMIC_BINS) == 0:
+        _pytest.skip("metagenomic bins asset not built")
+    mesh = make_mesh()
+    if mesh.devices.size < 2:
+        _pytest.skip("needs a multi-device mesh")
+
+    rec = list(parse(data("SRR492066.fna.gz")))[0].seq
+    seqs = [rec[:30000], rec[30000:52000]]
+
+    p = GeneFinder(meta=True, backend="refcore")
+    anchor = [p.find_genes(s) for s in seqs]
+
+    # seq_bucket shrunk to force the mega route on both contigs
+    runner = TpuMetaRunner(METAGENOMIC_BINS, seq_bucket=2048, mesh=mesh,
                            interpret=True)
     sharded = runner.find_genes_batch(seqs)
     for a, b in zip(anchor, sharded):
