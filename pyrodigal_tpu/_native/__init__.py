@@ -18,6 +18,19 @@ _LIB = os.path.join(_DIR, "librefcore.so")
 
 
 CFLAGS = ["-O3", "-march=native", "-ffp-contract=off", "-fPIC"]
+_ISA = _LIB + ".isa"
+
+
+def _cpu_flags():
+    """The host's CPU feature flags (Linux); None when undeterminable."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return set(line.split(":", 1)[1].split())
+    except OSError:
+        pass
+    return None
 
 
 def _build():
@@ -30,11 +43,35 @@ def _build():
                "-o", _LIB + ".tmp", "-lm"]
         subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_LIB + ".tmp", _LIB)
+    # record the build host's ISA so a prebuilt object is never dlopen'd
+    # on a host missing features -march=native compiled in (a mismatch
+    # would SIGILL mid-call, which ctypes cannot intercept)
+    flags = _cpu_flags()
+    if flags is not None:
+        with open(_ISA, "w") as f:
+            f.write(" ".join(sorted(flags)))
+
+
+def _isa_compatible():
+    """False when the shipped object was built on a host with CPU
+    features this host lacks (see ADVICE: -march=native wheels)."""
+    if not os.path.exists(_ISA):
+        return True                      # pre-guard build: assume local
+    host = _cpu_flags()
+    if host is None:
+        return True
+    try:
+        with open(_ISA) as f:
+            built = set(f.read().split())
+    except OSError:
+        return True
+    return built <= host
 
 
 def _load():
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            or not _isa_compatible()):
         try:
             _build()
         except Exception:
@@ -42,6 +79,12 @@ def _load():
             # mtimes): fall back to the shipped shared object
             if not os.path.exists(_LIB):
                 raise
+            if not _isa_compatible():
+                raise RuntimeError(
+                    "librefcore.so was built with -march=native on a host "
+                    "with CPU features this machine lacks, and no compiler "
+                    "is available to rebuild it — install gcc or a wheel "
+                    "built for this machine")
     return ctypes.CDLL(_LIB)
 
 

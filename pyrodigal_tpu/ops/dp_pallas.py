@@ -1148,6 +1148,21 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     hi_cnt = jnp.searchsorted(fs_sorted, stop_val[0] + 195, method="sort")
     has_ov = (hi_cnt > lo_cnt).astype(jnp.int32)
 
+    # The kind-2 overlap window reads 384 lanes at `ovlo`, which covers
+    # every candidate ONLY when no 200-bp span holds more than 250 nodes
+    # (the host check in meta_tpu._mega_ok).  Recompute the bound here
+    # and poison the terminal scores with NaN on violation, so an
+    # unvetted caller fails loudly instead of silently dropping DP
+    # candidates (ADVICE r4).
+    hi_all = jnp.searchsorted(sort_key, stop_val[0] + 195, method="sort")
+    # pad entries share their contig's last ndx (packed) or sort last
+    # (single), so count only VALID nodes between the two offsets
+    vcum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum((valid[0] != 0).astype(jnp.int32))])
+    dens_ok = jnp.all(jnp.where(
+        (valid[0] != 0) & (kind[0] == 2) & (has_ov != 0),
+        jnp.take(vcum, hi_all) - jnp.take(vcum, ovlo), 0) <= 250)
+
     # geometry operands are shared by every bin row -> ship (1, NT); the
     # trailing repeat feeds the kernel's SMEM per-node scalar copies
     args = tuple(
@@ -1165,6 +1180,7 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
     score = score_fx.astype(jnp.float32) * (1.0 / fxs)
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))
     tscore = jnp.where(terminal, score, -1.0)
+    tscore = jnp.where(dens_ok, tscore, jnp.nan)   # loud unvetted-geometry
     if node_bounds is None:
         best = jnp.max(tscore, axis=1)                       # (B,)
     else:

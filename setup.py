@@ -22,6 +22,27 @@ class BuildRefcore(build_ext):
 
         return os.path.join(*fullname.split(".")) + ".so"
 
+    def build_extension(self, ext):
+        super().build_extension(ext)
+        # record the build host's ISA next to the object so the ctypes
+        # loader refuses (or rebuilds) instead of SIGILL-ing when a
+        # -march=native wheel lands on a host missing those features
+        import os
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = None
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        flags = sorted(set(line.split(":", 1)[1].split()))
+                        break
+        except OSError:
+            flags = None
+        if flags:
+            so = self.get_ext_fullpath(ext.name)
+            with open(so + ".isa", "w") as f:
+                f.write(" ".join(flags))
+
 
 setup(
     ext_modules=[
