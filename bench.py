@@ -66,11 +66,45 @@ def data(name):
     raise FileNotFoundError(name)
 
 
+def _stage_probe(finder, work):
+    """One instrumented pass: aggregate wall seconds per pipeline stage
+    (host prep, launch pack+dispatch, exact-C winner finishing) so the
+    PROFILE.md split is driver-reproducible each round."""
+    from pyrodigal_tpu.ops import meta_tpu
+
+    agg = {"prep_s": 0.0, "dispatch_s": 0.0, "produce_s": 0.0}
+    saved = {}
+
+    def wrap(name, key):
+        orig = getattr(meta_tpu.TpuMetaRunner, name)
+        saved[name] = orig
+
+        def timed(self, *a, **kw):
+            t0 = time.time()
+            out = orig(self, *a, **kw)
+            agg[key] += time.time() - t0
+            return out
+        setattr(meta_tpu.TpuMetaRunner, name, timed)
+
+    wrap("_prepare_contig", "prep_s")
+    wrap("_sweep_mega_multi", "dispatch_s")
+    wrap("_produce_winner", "produce_s")
+    try:
+        t0 = time.time()
+        finder.find_genes_batch(work)
+        agg["pass_s"] = time.time() - t0
+    finally:
+        for name, orig in saved.items():
+            setattr(meta_tpu.TpuMetaRunner, name, orig)
+    return {k: round(v, 3) for k, v in agg.items()}
+
+
 def main():
     from pyrodigal_tpu.fasta import parse
     from pyrodigal_tpu import GeneFinder
 
     import jax
+    cold_cache = not (os.path.isdir(_CACHE_DIR) and os.listdir(_CACHE_DIR))
     _enable_compilation_cache()
     platform = jax.devices()[0].platform
 
@@ -113,7 +147,9 @@ def main():
         "elapsed_min_s": round(times[0], 2),
         "elapsed_max_s": round(times[-1], 2),
         "warmup_s": round(warmup_s, 2),
+        "cold_cache": cold_cache,
         "warm_genes": sum(len(g) for g in warm),
+        "stages": _stage_probe(finder, work),
     }
     print(json.dumps(out))
 

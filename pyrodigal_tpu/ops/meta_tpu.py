@@ -301,22 +301,34 @@ class TpuMetaRunner:
                 and gr["sb"] + sreg <= self.MEGA_PACK_SB
                 and len(gr["items"]) < self.MEGA_CP[-1])
 
+    # dispatch an open group as soon as it holds this many nodes: waiting
+    # for the caps to fill exactly would stall the device behind host
+    # prep at the head of a batch (pipelining beats maximal packing)
+    MEGA_PACK_EAGER = 131072
+
     def _mega_add(self, open_groups, it):
         """Streaming packer: place a mega work item into an open group
         (first fit), or open a new one; returns any group that became
-        unreachable and should be dispatched now.  Groups are bounded by
-        the row-union bucket, the per-launch packing caps and the
-        contig-count bucket."""
+        unreachable (or eagerly full) and should be dispatched now.
+        Groups are bounded by the row-union bucket, the per-launch
+        packing caps and the contig-count bucket."""
         nreg, sreg = self._mega_regions(it["g"])
+        placed = None
         for gr in open_groups:
             if self._mega_fits(gr, it, nreg, sreg):
                 gr["items"].append(it)
                 gr["rows"] |= set(it["rows"])
                 gr["nb"] += nreg
                 gr["sb"] += sreg
-                return None
-        open_groups.append({"items": [it], "rows": set(it["rows"]),
-                            "nb": nreg, "sb": sreg})
+                placed = gr
+                break
+        if placed is None:
+            placed = {"items": [it], "rows": set(it["rows"]),
+                      "nb": nreg, "sb": sreg}
+            open_groups.append(placed)
+        if placed["nb"] >= self.MEGA_PACK_EAGER:
+            open_groups.remove(placed)
+            return placed
         # cap the number of concurrently-open groups: dispatch the
         # oldest once a third distinct signature shows up
         if len(open_groups) > 2:

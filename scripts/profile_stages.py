@@ -19,13 +19,15 @@ base = [r.seq for n in names for r in parse(DATA + n)]
 T0 = time.time()
 def ts(): return f"{time.time()-T0:7.3f}"
 
-orig_sweep_mega = meta_tpu.TpuMetaRunner._sweep_mega
-def sweep_mega(self, g, rows):
+orig_sweep_multi = meta_tpu.TpuMetaRunner._sweep_mega_multi
+def sweep_multi(self, items):
     t0 = time.time()
-    out = orig_sweep_mega(self, g, rows)
-    print(f"{ts()} dispatch mega nn={g['nn']} ({time.time()-t0:.3f}s)", flush=True)
+    out = orig_sweep_multi(self, items)
+    nn = sum(it["g"]["nn"] for it in items)
+    print(f"{ts()} dispatch pack n_items={len(items)} nn={nn} "
+          f"({time.time()-t0:.3f}s)", flush=True)
     return out
-meta_tpu.TpuMetaRunner._sweep_mega = sweep_mega
+meta_tpu.TpuMetaRunner._sweep_mega_multi = sweep_multi
 
 orig_prep = meta_tpu.TpuMetaRunner._prepare_contig
 def prep(self, seq):
