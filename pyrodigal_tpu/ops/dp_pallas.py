@@ -20,7 +20,6 @@ float64 C engine by the differential tests.
 """
 
 import functools
-import os
 
 import numpy as np
 import jax
@@ -43,11 +42,6 @@ NEGF = float(np.float32(-1e30))
 # (_connection.h:135-139).  Range: |score| < 2^31/FXS = 1.05e6.
 FXS = 2048
 INT_NEG = -(2 ** 30)
-
-# perf-bisection switch for the vectorized mega segments (dev only):
-# bit 1 skip block finalize, 2 skip block-window parts, 4 skip the
-# in-run scan, 8 skip the ring query, 16 skip register pushes
-_VEC_ABLATE = int(os.environ.get("PYRO_VEC_ABLATE", "0"))
 
 
 # --------------------------------------------------------------------------
@@ -474,7 +468,7 @@ MEGA_RING = 256
 
 
 def _dp_kernel_mega(  # noqa: C901
-    ns_ref,
+    nn_ref,
     ndx_ref, sv_ref, kind_ref, winlo_ref, ovlo_ref, hasov_ref,
     cs_ref, rsc_ref, usc_ref,
     opv10_ref, opv11_ref, opv12_ref,
@@ -482,15 +476,13 @@ def _dp_kernel_mega(  # noqa: C901
     tsv0_ref, tsv1_ref, tsv2_ref,
     tndx0_ref, tndx1_ref, tndx2_ref,
     stwt_ref,
-    s_ndx, s_sv, s_kind, s_winlo, s_ovlo, s_hasov, s_seg, s_wl0,
+    s_ndx, s_sv, s_kind, s_winlo, s_ovlo, s_hasov,
     score_out, traceb_out, ovmark_out, tbndx_out,
-    b_ndx, b_sv, b_kind, b_winlo, b_cs, b_rsc, b_usc,
+    b_ndx, b_sv, b_kind, b_cs, b_rsc, b_usc,
     b_opv0, b_opv1, b_opv2,
     b_score, b_tb, b_tbndx, b_ov,
     r_val, r_idx, r_ndx, r_sv,
     g_val, g_j, g_ndx, g_pos,
-    sfx_val, sfx_idx, sfx_ndx,
-    bmx_val, bmx_idx, bmx_ndx, bmx_gb, nbdone,
     *, W, TILE, PREF, B, MAX_CHUNKS, fxs,
 ):
     """Every row of a mega launch is a BIN over the SAME geometry, which
@@ -547,7 +539,7 @@ def _dp_kernel_mega(  # noqa: C901
     l128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
     l128_1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lov1 = jax.lax.broadcasted_iota(jnp.int32, (1, OVW), 1)
-    win_bufs_g = (b_ndx, b_sv, b_kind, b_winlo)    # (1, PREF+TILE)
+    win_bufs_g = (b_ndx, b_sv, b_kind)             # (1, PREF+TILE)
     win_bufs_b = (b_cs, b_rsc, b_usc, b_opv0, b_opv1, b_opv2,
                   b_score, b_tb, b_tbndx, b_ov)    # (B, PREF+TILE)
 
@@ -558,15 +550,6 @@ def _dp_kernel_mega(  # noqa: C901
         b_kind[:, :PREF] = jnp.full((1, PREF), 4, jnp.int32)
         b_ndx[:, :PREF] = zi1
         b_sv[:, :PREF] = zi1
-        b_winlo[:, :PREF] = zi1
-        sfx_val[...] = jnp.full((B, 16 * 128), INT_NEG, jnp.int32)
-        sfx_idx[...] = jnp.full((B, 16 * 128), -1, jnp.int32)
-        sfx_ndx[...] = jnp.zeros((B, 16 * 128), jnp.int32)
-        bmx_val[...] = jnp.full((B, 128), INT_NEG, jnp.int32)
-        bmx_idx[...] = jnp.full((B, 128), -1, jnp.int32)
-        bmx_ndx[...] = jnp.zeros((B, 128), jnp.int32)
-        bmx_gb[...] = jnp.full((1, 128), -1, jnp.int32)
-        nbdone[0] = 0
         b_cs[:, :PREF] = zf
         b_rsc[:, :PREF] = zf
         b_usc[:, :PREF] = zf
@@ -597,7 +580,6 @@ def _dp_kernel_mega(  # noqa: C901
     b_ndx[:, PREF:] = ndx_ref[...]
     b_sv[:, PREF:] = sv_ref[...]
     b_kind[:, PREF:] = kind_ref[...]
-    b_winlo[:, PREF:] = winlo_ref[...]
     b_cs[:, PREF:] = cs_ref[...]
     b_rsc[:, PREF:] = rsc_ref[...]
     b_usc[:, PREF:] = usc_ref[...]
@@ -1005,297 +987,10 @@ def _dp_kernel_mega(  # noqa: C901
                                 upd_rev_start, upd_rev_stop])
         return 0
 
-    # ---- vectorized start-run segments --------------------------------
-    # A maximal run of consecutive START nodes (chopped to RB, see
-    # score_device.mega_segments) is processed in two vector phases:
-    # phase A commits every rev start at once (their only sources are
-    # the per-frame latest-rev-stop registers — no in-run dependency),
-    # phase B commits every fwd start at once (sources: the fwd-stop
-    # ring, queried as one (B, RB, RING) op, and the windowed rev-start
-    # score max, decomposed into per-128-lane-block suffix maxima +
-    # an in-run exclusive prefix scan so the [i-1000, i) window needs
-    # no per-node pass).  Blocks are finalized lazily into the
-    # sfx/bmx scratch rings as the frontier crosses them.
-    SW = PREF + TILE
-    RB = 16
-    l256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    l16 = jax.lax.broadcasted_iota(jnp.int32, (1, RB), 1)
-    l16B = jax.lax.broadcasted_iota(jnp.int32, (B, RB), 1)
-    candq_d = quant(igm_diff)              # (B, 1) flat rev-start mod
-
-    def lex3(a, b):
-        v1, j1, n1 = a
-        v2, j2, n2 = b
-        take2 = (v2 > v1) | ((v2 == v1) & (j2 > j1))
-        return (jnp.where(take2, v2, v1), jnp.where(take2, j2, j1),
-                jnp.where(take2, n2, n1))
-
-    def shift_hi(x, s, fill, width, lane):
-        """Lanes move UP by s (toward higher indices); low lanes fill."""
-        return jnp.where(lane >= s, pltpu.roll(x, s, 1), fill)
-
-    def shift_lo(x, s, fill, width, lane):
-        """Lanes move DOWN by s; high lanes fill."""
-        return jnp.where(lane < width - s, pltpu.roll(x, width - s, 1),
-                         fill)
-
-    def _finalize_block(gb, carry):
-        """Suffix-lex-max the committed rev-start scores of global
-        128-lane block gb into the sfx ring; its total into bmx."""
-        boff = pl.multiple_of(gb * 128 - base_i + PREF, 128)
-        slv = pl.ds(boff, 128)
-        ok = (b_kind[0:1, slv] == 2) & (b_tb[:, slv] != -1)
-        v = jnp.where(ok, b_score[:, slv], INT_NEG)
-        j = jnp.where(ok, gb * 128 + l128_1, -1)
-        n = jnp.where(ok, jnp.broadcast_to(b_ndx[0:1, slv], (B, 128)), 0)
-        j = jnp.broadcast_to(j, (B, 128))
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            v2 = shift_lo(v, s, INT_NEG, 128, l128)
-            j2 = shift_lo(j, s, -1, 128, l128)
-            n2 = shift_lo(n, s, 0, 128, l128)
-            v, j, n = lex3((v, j, n), (v2, j2, n2))
-        so = pl.multiple_of((gb % 16) * 128, 128)
-        sfx_val[:, pl.ds(so, 128)] = v
-        sfx_idx[:, pl.ds(so, 128)] = j
-        sfx_ndx[:, pl.ds(so, 128)] = n
-        bslot = gb % 128
-        mB = l128 == bslot
-        bmx_val[...] = jnp.where(mB, v[:, 0:1], bmx_val[...])
-        bmx_idx[...] = jnp.where(mB, j[:, 0:1], bmx_idx[...])
-        bmx_ndx[...] = jnp.where(mB, n[:, 0:1], bmx_ndx[...])
-        m1 = l128_1 == bslot
-        bmx_gb[...] = jnp.where(m1, gb, bmx_gb[...])
-        return 0
-
-    def vec_body(off, R, hasA, hasB):
-        ip0 = off + PREF
-        g0 = base_i + off
-        al2 = pl.multiple_of(
-            jnp.minimum((ip0 // 128) * 128, SW - 256), 128)
-        sl2 = pl.ds(al2, 256)
-        delta = ip0 - al2                  # run head lane in workspace
-        gbase = base_i + (al2 - PREF)      # global index of lane 0
-        gpos = gbase + l256
-        runm = (l256 >= delta) & (l256 < delta + R)
-        v_ndx = b_ndx[0:1, sl2]
-        v_kind = b_kind[0:1, sl2]
-        v_winlo = b_winlo[0:1, sl2]
-        v_cs = b_cs[:, sl2]
-        v_tb = b_tb[:, sl2]
-        v_score = b_score[:, sl2]
-        fr = v_ndx % 3
-
-        def reg1(ref, ln):
-            return jnp.sum(jnp.where(l128 == ln, ref[...], 0),
-                           axis=1, keepdims=True)       # (B, 1)
-
-        def cpt(x):
-            """Compact run lanes [delta, delta+R) to lanes [0, RB)."""
-            return pltpu.roll(x, jnp.mod(-delta, 256), 1)[:, :RB]
-
-        def sct(x, fill):
-            """Scatter (B, RB) back to workspace run lanes."""
-            p = jnp.pad(x, ((0, 0), (0, 256 - RB)), constant_values=fill)
-            return pltpu.roll(p, jnp.mod(delta, 256), 1)
-
-        # ---- phase A: rev starts <- latest-rev-stop registers ---------
-        rv = [reg1(r_val, 6 + f) for f in range(3)]
-        rj = [reg1(r_idx, 6 + f) for f in range(3)]
-        rn = [reg1(r_ndx, 6 + f) for f in range(3)]
-
-        def sel3(arr):
-            return jnp.where(fr == 0, arr[0],
-                             jnp.where(fr == 1, arr[1], arr[2]))
-
-        rj_s = sel3(rj)
-        rn_s = sel3(rn)
-        rsv_s = jnp.where(fr == 0, r_sv[6],
-                          jnp.where(fr == 1, r_sv[7], r_sv[8]))
-        mask2 = runm & (v_kind == 2)
-        validA = (rsv_s > v_ndx) & (rj_s >= v_winlo)
-        candA = jnp.where(mask2 & validA, sel3(rv) + quant(v_cs), INT_NEG)
-        okA = candA >= 0
-
-        @pl.when(hasA != 0)
-        def _commitA():
-            b_score[:, sl2] = jnp.where(okA, candA, b_score[:, sl2])
-            b_tb[:, sl2] = jnp.where(
-                okA, jnp.broadcast_to(rj_s, (B, 256)), b_tb[:, sl2])
-            b_tbndx[:, sl2] = jnp.where(
-                okA, jnp.broadcast_to(rn_s, (B, 256)), b_tbndx[:, sl2])
-
-        @pl.when(hasB != 0)
-        def _phaseB():
-            gb_cur = g0 // 128
-            # standard (non-extended) window-lo of the run head: the
-            # head may be a rev start with a giant-ORF-extended window,
-            # but phase B's fwd-start targets use max(base, i-1000)
-            head_wl = s_wl0[0, off]
-            bw = head_wl // 128
-            if not _VEC_ABLATE & 1:
-                start = jnp.maximum(nbdone[0], bw)
-                jax.lax.fori_loop(start, gb_cur, _finalize_block, 0)
-                nbdone[0] = jnp.maximum(nbdone[0], gb_cur)
-
-            neg256 = (jnp.full((B, 256), INT_NEG, jnp.int32),
-                      jnp.full((B, 256), -1, jnp.int32),
-                      jnp.zeros((B, 256), jnp.int32))
-            glo = gpos - 1000              # per-lane window lower bound
-            # part 1: suffix-within-block at glo (blocks bw / bw+1)
-            s0 = pl.multiple_of((bw % 16) * 128, 128)
-            s1 = pl.multiple_of(((bw + 1) % 16) * 128, 128)
-
-            def sfx2(ref):
-                return jnp.concatenate(
-                    [ref[:, pl.ds(s0, 128)], ref[:, pl.ds(s1, 128)]],
-                    axis=1)                # (B, 256)
-
-            D = (gbase - 1000) - bw * 128  # lane -> sfx position offset
-            sR = jnp.mod(-D, 256)
-            unclamped = glo >= head_wl     # (1, 256)
-            p1 = tuple(jnp.where(unclamped, pltpu.roll(sfx2(r), sR, 1), f)
-                       for r, f in ((sfx_val, INT_NEG), (sfx_idx, -1),
-                                    (sfx_ndx, 0)))
-            # part 2: whole blocks between, via the block-max ring
-            gbv = bmx_gb[...]
-            in2 = (gbv >= bw + 2) & (gbv < gb_cur)
-            inC = (gbv >= bw) & (gbv < gb_cur)
-
-            def bmxmax(inm):
-                v = jnp.where(inm, bmx_val[...], INT_NEG)
-                c = jnp.max(v, axis=1, keepdims=True)
-                jm = jnp.max(jnp.where(v == c, bmx_idx[...], -1),
-                             axis=1, keepdims=True)
-                nm = jnp.max(
-                    jnp.where((v == c) & (bmx_idx[...] == jm),
-                              bmx_ndx[...], 0), axis=1, keepdims=True)
-                return c, jm, nm           # (B, 1) triple
-
-            shared2 = bmxmax(in2)
-            sharedC = bmxmax(inC)          # clamped lanes: [base, cur)
-            bq1ok = (gbv == bw + 1) & (bw + 1 < gb_cur)
-            q1 = bmxmax(bq1ok)
-            inbq = unclamped & (glo < (bw + 1) * 128)
-            pq1 = tuple(jnp.where(inbq, c, f)
-                        for c, f in zip(q1, (INT_NEG, -1, 0)))
-            p2 = tuple(jnp.where(unclamped, c, f)
-                       for c, f in zip(shared2, (INT_NEG, -1, 0)))
-            pC = tuple(jnp.where(unclamped, f, c)
-                       for c, f in zip(sharedC, (INT_NEG, -1, 0)))
-            # parts 3+4: current-block prefix + in-run exclusive scan
-            cb0 = (ip0 // 128) * 128 - al2
-            okc = (v_kind == 2) & (l256 >= cb0)
-            live = ((l256 < delta) & (v_tb != -1)) \
-                | ((l256 >= delta) & okA)
-            vv = jnp.where(okc & live,
-                           jnp.where(l256 < delta, v_score, candA),
-                           INT_NEG)
-            jj = jnp.where(okc & live, jnp.broadcast_to(gpos, (B, 256)),
-                           -1)
-            nn2 = jnp.where(okc & live,
-                            jnp.broadcast_to(v_ndx, (B, 256)), 0)
-            vv = shift_hi(vv, 1, INT_NEG, 256, l256)
-            jj = shift_hi(jj, 1, -1, 256, l256)
-            nn2 = shift_hi(nn2, 1, 0, 256, l256)
-            for s in (1, 2, 4, 8, 16, 32, 64, 128):
-                v2 = shift_hi(vv, s, INT_NEG, 256, l256)
-                j2 = shift_hi(jj, s, -1, 256, l256)
-                n2 = shift_hi(nn2, s, 0, 256, l256)
-                vv, jj, nn2 = lex3((vv, jj, nn2), (v2, j2, n2))
-            if _VEC_ABLATE & 2:
-                p1 = pq1 = p2 = pC = neg256
-            if _VEC_ABLATE & 4:
-                vv, jj, nn2 = neg256
-            candR = lex3(lex3(p1, pq1), lex3(p2, pC))
-            candR = lex3(candR, (vv, jj, nn2))
-            vR, jR, nR = (cpt(x) for x in candR)
-            vR = jnp.where(vR > INT_NEG // 2, vR + candq_d, INT_NEG)
-
-            # ---- fwd-stop ring query, one (B, RB, RING) op ------------
-            c_ndx = jnp.reshape(cpt(jnp.broadcast_to(v_ndx, (1, 256))),
-                                (1, RB, 1))
-            c_wl = jnp.reshape(cpt(jnp.broadcast_to(v_winlo, (1, 256))),
-                               (1, RB, 1))
-            rv3 = g_val[...][:, None, :]
-            rj3 = g_j[...][:, None, :]
-            rn3 = g_ndx[...][:, None, :]
-            okk = (rj3 >= c_wl) & (rj3 != -1) & (rn3 + 2 < c_ndx)
-            dist = c_ndx - rn3
-            far = dist > 3 * OPER_DIST
-            operon = (dist <= OPER_DIST) | (dist * 4 < OPER_DIST)
-            st3 = st_wt[:, :, None]
-            bonus = (2.0 - dist.astype(jnp.float32) / OPER_DIST) \
-                * 0.15 * st3
-            igm = jnp.where(far, jnp.float32(-0.15) * st3,
-                            jnp.where(operon, bonus, 0.0))
-            candq = jnp.round(jnp.where(okk, igm, 0.0) * fxs
-                              ).astype(jnp.int32)
-            totk = jnp.where(okk, rv3 + candq, INT_NEG)
-            kmax = jnp.max(totk, axis=2)
-            rjb = jnp.broadcast_to(rj3, totk.shape)
-            jK = jnp.max(jnp.where(totk == kmax[:, :, None], rjb, -1),
-                         axis=2)
-            nK = jnp.max(jnp.where(
-                (totk == kmax[:, :, None]) & (rjb == jK[:, :, None]),
-                jnp.broadcast_to(rn3, totk.shape), 0), axis=2)
-            if _VEC_ABLATE & 8:
-                kmax = jnp.full((B, RB), INT_NEG, jnp.int32)
-                jK = jnp.full((B, RB), -1, jnp.int32)
-                nK = jnp.zeros((B, RB), jnp.int32)
-
-            bv, bj, bn = lex3((vR, jR, nR), (kmax, jK, nK))
-            kind_c = jnp.reshape(
-                cpt(jnp.broadcast_to(v_kind, (1, 256))), (1, RB))
-            do = (bv >= 0) & (kind_c == 0) & (l16 < R)
-
-            doL = sct(do.astype(jnp.int32), 0) != 0
-            b_score[:, sl2] = jnp.where(doL, sct(bv, 0), b_score[:, sl2])
-            b_tb[:, sl2] = jnp.where(doL, sct(bj, -1), b_tb[:, sl2])
-            b_tbndx[:, sl2] = jnp.where(doL, sct(bn, 0), b_tbndx[:, sl2])
-
-            # gene-register pushes for every fwd start of the run
-            sfin = jnp.where(do, bv, 0)
-            gcand = jnp.where((kind_c == 0) & (l16 < R),
-                              sfin + quant(cpt(v_cs)), INT_NEG)
-            fr_c = jnp.reshape(cpt(jnp.broadcast_to(fr, (1, 256))),
-                               (1, RB))
-            ndx_c = jnp.reshape(cpt(jnp.broadcast_to(v_ndx, (1, 256))),
-                                (1, RB))
-            for f in range(3) if not _VEC_ABLATE & 16 else []:
-                candf = jnp.where(fr_c == f, gcand, INT_NEG)
-                cmax = jnp.max(candf, axis=1, keepdims=True)
-                pick = jnp.max(jnp.where(candf == cmax, l16B, -1),
-                               axis=1, keepdims=True)
-                gndx = jnp.max(jnp.where(l16B == pick,
-                                         jnp.broadcast_to(ndx_c, (B, RB)),
-                                         0), axis=1, keepdims=True)
-                old = reg1(r_val, f)
-                upd = (cmax >= old) & (cmax > INT_NEG // 2)
-                m = (l128 == f) & upd
-                r_val[...] = jnp.where(m, cmax, r_val[...])
-                r_idx[...] = jnp.where(m, g0 + pick, r_idx[...])
-                r_ndx[...] = jnp.where(m, gndx, r_ndx[...])
-
-    # segment loop: the host segment plan (score_device.mega_segments)
-    # partitions each tile's real nodes into start-run segments and
-    # scalar (stop / has_ov rev-start) segments in node order
-    def seg_body(s, carry):
-        code = s_seg[0, s]
-        off = code >> 8
-        R = (code >> 3) & 31
-
-        def scal():
-            body(off, 0)
-            return 0
-
-        def vec():
-            vec_body(off, R, (code >> 1) & 1, (code >> 2) & 1)
-            return 0
-
-        jax.lax.cond((code & 1) == 1, vec, scal)
-        return 0
-
-    jax.lax.fori_loop(0, ns_ref[t], seg_body, 0)
+    # per-tile real-node count (real nodes are a tile prefix by
+    # construction: single geometries are front-compacted, packed
+    # geometries pad each contig's node range to a tile multiple)
+    jax.lax.fori_loop(0, nn_ref[t], body, 0)
 
     # flush this tile's DP state to the outputs
     score_out[...] = b_score[:, PREF:]
@@ -1304,7 +999,7 @@ def _dp_kernel_mega(  # noqa: C901
     tbndx_out[...] = b_tbndx[:, PREF:]
 
 
-def _run_kernel_mega(args, ns, NT, B, W, TILE, PREF, MAX_CHUNKS,
+def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
                      fxs, interpret=False):
     """Node-axis-gridded launch for one long contig: operands are (B, NT)
     streamed tile-by-tile; 13 VMEM scratch buffers carry the trailing
@@ -1325,7 +1020,6 @@ def _run_kernel_mega(args, ns, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((1, sw), jnp.int32),    # b_ndx
         pltpu.VMEM((1, sw), jnp.int32),    # b_sv
         pltpu.VMEM((1, sw), jnp.int32),    # b_kind
-        pltpu.VMEM((1, sw), jnp.int32),    # b_winlo
         pltpu.VMEM((B, sw), jnp.float32),  # b_cs
         pltpu.VMEM((B, sw), jnp.float32),  # b_rsc
         pltpu.VMEM((B, sw), jnp.float32),  # b_usc
@@ -1344,14 +1038,6 @@ def _run_kernel_mega(args, ns, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((1, MEGA_RING), jnp.int32),   # g_j
         pltpu.VMEM((1, MEGA_RING), jnp.int32),   # g_ndx
         pltpu.SMEM((4,), jnp.int32),             # g_pos
-        pltpu.VMEM((B, 16 * 128), jnp.int32),    # sfx_val (block ring)
-        pltpu.VMEM((B, 16 * 128), jnp.int32),    # sfx_idx
-        pltpu.VMEM((B, 16 * 128), jnp.int32),    # sfx_ndx
-        pltpu.VMEM((B, 128), jnp.int32),         # bmx_val
-        pltpu.VMEM((B, 128), jnp.int32),         # bmx_idx
-        pltpu.VMEM((B, 128), jnp.int32),         # bmx_ndx
-        pltpu.VMEM((1, 128), jnp.int32),         # bmx_gb
-        pltpu.SMEM((4,), jnp.int32),             # nbdone
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1370,7 +1056,7 @@ def _run_kernel_mega(args, ns, NT, B, W, TILE, PREF, MAX_CHUNKS,
         ] + [
             pl.BlockSpec((1, TILE), lambda g, _nn: (0, g),
                          memory_space=pltpu.SMEM)    # per-node scalars
-            for _ in range(8)                        # + seg plan, wl0
+            for _ in range(6)
         ],
         out_specs=[
             pl.BlockSpec((B, TILE), lambda g, _nn: (0, g),
@@ -1384,13 +1070,13 @@ def _run_kernel_mega(args, ns, NT, B, W, TILE, PREF, MAX_CHUNKS,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(ns, *args)
+    )(nn, *args)
 
 
 def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
                   sp, st_wt, NT, interpret=False, star_span=None,
                   tables=None, fxs=FXS, node_bounds=None,
-                  monotonic_ndx=False, seg=None, ns=None, wl0=None):
+                  monotonic_ndx=False):
     """`_dp_core` for one long contig — or a PACK of contigs laid out
     end-to-end on the node axis (each contig's node range padded to a
     kernel-tile multiple, kind-4 pads as a per-tile suffix; window bounds
@@ -1437,11 +1123,9 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
             t_ndx.append(jnp.where(okm, g_ndx, 0))
 
     kind4 = jnp.where(valid != 0, kind, 4)
-    if seg is None or ns is None or wl0 is None:
-        raise ValueError(
-            "_dp_core_mega requires the host segment plan (seg, ns) — "
-            "build the geometry with pack_geometries(..., mega=True) or "
-            "pack_geometries_multi, or call score_device.mega_segments")
+    # per-tile real-node counts (real nodes are a prefix of each tile)
+    tile_nn = jnp.sum((valid[0] != 0).reshape(NT // MEGA_TILE, MEGA_TILE)
+                      .astype(jnp.int32), axis=1)
 
     # kind-2 overlap-window offsets: first node with ndx >= stop_val[i]-3
     # (the fwd-stop sources of a rev-start target all satisfy
@@ -1488,10 +1172,10 @@ def _dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc,
         + opv1 + val3 + t_sv + t_ndx
         + [jnp.broadcast_to(st_wt[:, None], (B, 128))]
         + [ndx[0:1], stop_val[0:1], kind4[0:1], win_lo[0:1], ovlo[None],
-           has_ov[None], seg, wl0]
+           has_ov[None]]
     )
     score_fx, traceb, ov, _ = _run_kernel_mega(
-        args, ns, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,
+        args, tile_nn, NT, B, W_MEGA, MEGA_TILE, MEGA_CHUNKS * W_MEGA,
         MEGA_CHUNKS, fxs, interpret)
     score = score_fx.astype(jnp.float32) * (1.0 / fxs)
     terminal = (valid != 0) & ((kind == 1) | (kind == 2))

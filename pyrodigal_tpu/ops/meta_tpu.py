@@ -259,7 +259,7 @@ class TpuMetaRunner:
         NT = next(b for b in self.MEGA_NT if b >= g["nn"])
         SB = next(b for b in self.MEGA_SB if b >= g["slen"])
         BT = 16
-        packed = sd.pack_geometries([g], 1, NT, SB, mega=True)
+        packed = sd.pack_geometries([g], 1, NT, SB)
         bin_idx = np.zeros(BT, np.int32)
         slot_idx = np.ones(BT, np.int32)       # 1 = "no slot" (C = 1)
         for k, b in enumerate(bin_rows):

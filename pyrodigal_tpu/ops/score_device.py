@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .._constants import STOP, MAX_NODE_DIST
+from .._constants import STOP
 from .. import _native
 from . import dp_jax, dp_pallas
 
@@ -203,92 +203,9 @@ def prepare_geometry(seq, nodes, tt, closed, max_overlap, relk):
 GEO_I32 = ("ndx", "stop_val", "win_lo")
 GEO_I8 = ("typ", "strand", "edge", "stop_real", "euf", "valid")
 
-# mega-kernel segment cap: start-runs are processed RB nodes per step
-MEGA_RB = 16
 
-
-def mega_segments(out, NT, TILE, RB=MEGA_RB):
-    """Host-side segmentation of a packed mega node axis for the
-    segment-vectorized DP kernel (dp_pallas._dp_kernel_mega).
-
-    The node loop is restructured into SEGMENTS: maximal runs of
-    consecutive START nodes (kind 0/2) are one vector step each (their
-    intra-run dependencies are one-directional — rev starts depend on
-    no in-run node, fwd starts only on in-run rev starts — so both
-    phases vectorize), while stops and `has_ov` rev starts (the rare
-    opposite-strand overlap window, see the kernel) stay scalar steps.
-    Runs are chopped at tile boundaries and at RB nodes.
-
-    Returns {"seg": (1, NT) int32, "ns": (NT//TILE,) int32}: per tile t,
-    seg[0, t*TILE + s] for s < ns[t] holds the packed code of segment s
-    in node order: (off << 8) | (R << 3) | (hasB << 2) | (hasA << 1)
-    | isvec, with `off` the tile-local head lane, R the node count,
-    hasA/hasB = run contains rev/fwd starts."""
-    typ = out["n8"][0, 0].astype(np.int32)
-    strand = out["n8"][1, 0].astype(np.int32)
-    valid = out["n8"][5, 0] != 0
-    ndx = out["n32"][0, 0].astype(np.int64)
-    sv = out["n32"][1, 0].astype(np.int64)
-    kind = 2 * (strand != 1) + (typ == STOP)
-    lanes = np.arange(NT)
-
-    # has_ov: rev starts with a fwd stop in (stop_val-4, stop_val+195)
-    # (mirrors the traced gate in dp_pallas._dp_core_mega; packed
-    # contigs are >= 384 bp apart so the window never crosses contigs)
-    hasov = np.zeros(NT, bool)
-    k2 = valid & (kind == 2)
-    fs_ndx = np.sort(ndx[valid & (kind == 1)])
-    if fs_ndx.size and k2.any():
-        lo = np.searchsorted(fs_ndx, sv[k2] - 3)
-        hi = np.searchsorted(fs_ndx, sv[k2] + 195)
-        hasov[k2] = hi > lo
-
-    scalar = valid & ((kind == 1) | (kind == 3) | hasov)
-    run = valid & ~scalar
-    tile_start = (lanes % TILE) == 0
-
-    # run heads: first lane of each maximal run, then re-chopped at RB
-    prev_run = np.concatenate([[False], run[:-1]])
-    head0 = run & (tile_start | ~prev_run)
-    grp = np.maximum.accumulate(np.where(head0, lanes, -1))
-    head = run & (head0 | ((lanes - grp) % RB == 0))
-    # run end per head: next break (non-run lane or tile start) or +RB
-    cidx = np.where((~run) | tile_start, lanes, NT)
-    nxt = np.minimum.accumulate(cidx[::-1])[::-1]
-    nxt_after = np.concatenate([nxt[1:], [NT]])
-    heads_r = lanes[head]
-    seg_end = np.minimum(heads_r + RB, nxt_after[heads_r])
-    lens_r = seg_end - heads_r
-    # per-run-segment kind flags via cumsums
-    c2 = np.concatenate([[0], np.cumsum((kind == 2) & run)])
-    c0 = np.concatenate([[0], np.cumsum((kind == 0) & run)])
-    hasA = (c2[seg_end] - c2[heads_r]) > 0
-    hasB = (c0[seg_end] - c0[heads_r]) > 0
-
-    codes_r = ((heads_r % TILE) << 8) | (lens_r << 3) \
-        | (hasB.astype(np.int64) << 2) | (hasA.astype(np.int64) << 1) | 1
-    heads_s = lanes[scalar]
-    codes_s = ((heads_s % TILE) << 8) | (1 << 3)
-
-    allheads = np.concatenate([heads_r, heads_s])
-    allcodes = np.concatenate([codes_r, codes_s])
-    order = np.argsort(allheads, kind="stable")
-    allheads = allheads[order]
-    allcodes = allcodes[order]
-
-    n_tiles = NT // TILE
-    seg = np.zeros((1, NT), np.int32)
-    first = np.searchsorted(allheads, np.arange(n_tiles + 1) * TILE)
-    ns = (first[1:] - first[:-1]).astype(np.int32)
-    slot = np.arange(len(allheads)) - first[allheads // TILE]
-    seg[0, (allheads // TILE) * TILE + slot] = allcodes
-    return {"seg": seg, "ns": ns}
-
-
-def pack_geometries(geoms, G, n, S, mega=False):
-    """Stack geometry dicts into fixed-shape arrays for one launch.
-    With `mega=True` (single-geometry mega launches) the host segment
-    plan for the segment-vectorized DP kernel is attached."""
+def pack_geometries(geoms, G, n, S):
+    """Stack geometry dicts into fixed-shape arrays for one launch."""
     out = {
         "n32": np.zeros((len(GEO_I32), G, n), np.int32),
         "n8": np.zeros((len(GEO_I8), G, n), np.int8),
@@ -306,15 +223,6 @@ def pack_geometries(geoms, G, n, S, mega=False):
         out["n8"][5, gi, :nn] = 1                        # valid
         out["digits"][gi, :gd["slen"]] = gd["digits"]
         out["slen"][gi] = gd["slen"]
-    if mega:
-        assert G == 1
-        # standard (non-extended) window starts: the vector phase-B
-        # head scalar must not see a rev start's giant-ORF extension
-        nn0 = geoms[0]["nn"]
-        wl0 = np.arange(n, dtype=np.int32)
-        wl0[:nn0] = np.maximum(wl0[:nn0] - 2 * MAX_NODE_DIST, 0)
-        out["wl0"] = wl0[None]
-        out.update(mega_segments(out, n, dp_pallas.MEGA_TILE))
     return out
 
 
@@ -377,14 +285,6 @@ def pack_geometries_multi(geoms, NT, SB, CP, tile):
     out["nbound"][C2:] = nb
     out["slen"][0] = sb
     assert nb <= NT and sb <= SB
-    # standard (non-extended) per-node window starts, globalized
-    wl0 = np.arange(NT, dtype=np.int32)
-    for k in range(C2):
-        lo, hi = int(out["nbound"][k]), int(out["nbound"][k + 1])
-        wl0[lo:hi] = lo + np.maximum(
-            np.arange(hi - lo) - 2 * MAX_NODE_DIST, 0)
-    out["wl0"] = wl0[None]
-    out.update(mega_segments(out, NT, tile))
     return out
 
 
@@ -1235,8 +1135,7 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
         cscore + ssc, rsc, usc, star_ptr, stw,
         NB, interpret, star_span=relk + 4,
         tables=(opv1, val3, t_sv, t_ndx), fxs=fxs,
-        node_bounds=geo.get("nbound"), monotonic_ndx="loc" in geo,
-        seg=geo.get("seg"), ns=geo.get("ns"), wl0=geo.get("wl0"))
+        node_bounds=geo.get("nbound"), monotonic_ndx="loc" in geo)
     return pack_winners(score, traceb, ov, best, slot_idx, 0, NB, 1)
 
 

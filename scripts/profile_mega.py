@@ -30,7 +30,7 @@ g = geoms[11]
 NT = next(b for b in runner.MEGA_NT if b >= g["nn"])
 SB = next(b for b in runner.MEGA_SB if b >= g["slen"])
 BT = 16
-packed = sd.pack_geometries([g], 1, NT, SB, mega=True)
+packed = sd.pack_geometries([g], 1, NT, SB)
 bin_idx = np.zeros(BT, np.int32)
 slot_idx = np.ones(BT, np.int32)
 for k, b in enumerate(cand):
@@ -69,18 +69,12 @@ out = [jnp.asarray(np.asarray(o)) for o in out]
 (ndx, stop_val, typ, strand, win_lo, valid,
  cscore, ssc, rsc, usc, star_ptr, stw) = out
 
-seg_j = jnp.asarray(packed["seg"])
-ns_j = jnp.asarray(packed["ns"])
-wl0_j = jnp.asarray(packed["wl0"])
-
-
 @jax.jit
 def dp_only(ndx, stop_val, typ, strand, win_lo, valid, cs, rsc, usc, sp, stw):
     return dp_pallas._dp_core_mega(ndx, stop_val, typ, strand, win_lo, valid,
                                    cs, rsc, usc, sp, stw, NT,
                                    interpret=runner.interpret,
-                                   star_span=runner.relk,
-                                   seg=seg_j, ns=ns_j, wl0=wl0_j)
+                                   star_span=runner.relk)
 
 t("dp_core_mega alone",
   lambda: dp_only(ndx, stop_val, typ, strand, win_lo, valid,

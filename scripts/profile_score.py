@@ -27,7 +27,7 @@ g = geoms[11]
 NT = next(b for b in runner.MEGA_NT if b >= g["nn"])
 SB = next(b for b in runner.MEGA_SB if b >= g["slen"])
 BT = 16
-packed = sd.pack_geometries([g], 1, NT, SB, mega=True)
+packed = sd.pack_geometries([g], 1, NT, SB)
 bin_idx = np.zeros(BT, np.int32)
 for k, b in enumerate(cand):
     bin_idx[k] = b

@@ -385,7 +385,7 @@ def test_star_pallas_matches_xla_tables(data):
     g = geoms[list(geoms)[0]]
     NT = 2048 * ((g["nn"] + 2047) // 2048)
     SB = ((seq.slen + 196607) // 196608) * 196608
-    packed = sd.pack_geometries([g], 1, NT, SB, mega=True)
+    packed = sd.pack_geometries([g], 1, NT, SB)
     geo = {k: jnp.asarray(v) for k, v in packed.items()}
     BT = 16
     bin_idx = np.zeros(BT, np.int32)
