@@ -478,8 +478,7 @@ def _dp_kernel_mega(  # noqa: C901
     stwt_ref,
     s_ndx, s_sv, s_kind, s_winlo, s_ovlo, s_hasov,
     score_out, traceb_out, ovmark_out, tbndx_out,
-    b_ndx, b_sv, b_kind, b_cs, b_rsc, b_usc,
-    b_opv0, b_opv1, b_opv2,
+    b_ndx, b_sv, b_kind, b_rsc, b_usc,
     b_score, b_tb, b_tbndx, b_ov,
     r_val, r_idx, r_ndx, r_sv,
     g_val, g_j, g_ndx, g_pos,
@@ -540,7 +539,7 @@ def _dp_kernel_mega(  # noqa: C901
     l128_1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     lov1 = jax.lax.broadcasted_iota(jnp.int32, (1, OVW), 1)
     win_bufs_g = (b_ndx, b_sv, b_kind)             # (1, PREF+TILE)
-    win_bufs_b = (b_cs, b_rsc, b_usc, b_opv0, b_opv1, b_opv2,
+    win_bufs_b = (b_rsc, b_usc,
                   b_score, b_tb, b_tbndx, b_ov)    # (B, PREF+TILE)
 
     @pl.when(t == 0)
@@ -550,12 +549,8 @@ def _dp_kernel_mega(  # noqa: C901
         b_kind[:, :PREF] = jnp.full((1, PREF), 4, jnp.int32)
         b_ndx[:, :PREF] = zi1
         b_sv[:, :PREF] = zi1
-        b_cs[:, :PREF] = zf
         b_rsc[:, :PREF] = zf
         b_usc[:, :PREF] = zf
-        b_opv0[:, :PREF] = zf
-        b_opv1[:, :PREF] = zf
-        b_opv2[:, :PREF] = zf
         b_score[:, :PREF] = jnp.zeros((B, PREF), jnp.int32)
         b_tb[:, :PREF] = jnp.full((B, PREF), -1, jnp.int32)
         b_tbndx[:, :PREF] = jnp.zeros((B, PREF), jnp.int32)
@@ -580,12 +575,8 @@ def _dp_kernel_mega(  # noqa: C901
     b_ndx[:, PREF:] = ndx_ref[...]
     b_sv[:, PREF:] = sv_ref[...]
     b_kind[:, PREF:] = kind_ref[...]
-    b_cs[:, PREF:] = cs_ref[...]
     b_rsc[:, PREF:] = rsc_ref[...]
     b_usc[:, PREF:] = usc_ref[...]
-    b_opv0[:, PREF:] = opv10_ref[...]
-    b_opv1[:, PREF:] = opv11_ref[...]
-    b_opv2[:, PREF:] = opv12_ref[...]
     b_score[:, PREF:] = jnp.zeros((B, TILE), jnp.int32)
     b_tb[:, PREF:] = jnp.full((B, TILE), -1, jnp.int32)
     b_tbndx[:, PREF:] = jnp.zeros((B, TILE), jnp.int32)
@@ -1020,12 +1011,8 @@ def _run_kernel_mega(args, nn, NT, B, W, TILE, PREF, MAX_CHUNKS,
         pltpu.VMEM((1, sw), jnp.int32),    # b_ndx
         pltpu.VMEM((1, sw), jnp.int32),    # b_sv
         pltpu.VMEM((1, sw), jnp.int32),    # b_kind
-        pltpu.VMEM((B, sw), jnp.float32),  # b_cs
         pltpu.VMEM((B, sw), jnp.float32),  # b_rsc
         pltpu.VMEM((B, sw), jnp.float32),  # b_usc
-        pltpu.VMEM((B, sw), jnp.float32),  # b_opv0
-        pltpu.VMEM((B, sw), jnp.float32),  # b_opv1
-        pltpu.VMEM((B, sw), jnp.float32),  # b_opv2
         pltpu.VMEM((B, sw), jnp.int32),    # b_score (fixed point)
         pltpu.VMEM((B, sw), jnp.int32),    # b_tb
         pltpu.VMEM((B, sw), jnp.int32),    # b_tbndx

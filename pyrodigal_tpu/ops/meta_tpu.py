@@ -227,7 +227,8 @@ class TpuMetaRunner:
             bin_idx[k] = b
             gidx[k] = gmap[gkey]
             slot_idx[k] = slots[ci]
-        geo = {k: jnp.asarray(v) for k, v in packed.items()}
+        geo = {k: jnp.asarray(v)
+               for k, v in sd.compress_geo(packed).items()}
         W = self.window
         NP = W + int(np.ceil(n / 128) * 128) + 128
         # the non-SD motif machinery compiles in only when some bin of
@@ -265,7 +266,6 @@ class TpuMetaRunner:
         for k, b in enumerate(bin_rows):
             bin_idx[k] = b
             slot_idx[k] = 0
-        geo = {k: jnp.asarray(v) for k, v in packed.items()}
         if "cdigits" in g:
             # gap-compacted window source (see _compactify)
             SCB = next(b for b in self.MEGA_SB if b >= g["c_len"])
@@ -273,10 +273,11 @@ class TpuMetaRunner:
             cd[0, :g["c_len"]] = g["cdigits"]
             cn = np.zeros((1, NT), np.int32)
             cn[0, :g["nn"]] = g["c_ndx"]
-            geo["cdigits"] = jnp.asarray(cd)
-            geo["c_ndx"] = jnp.asarray(cn)
-            geo["c_slen"] = jnp.asarray(
-                np.array([g["c_len"]], np.int32))
+            packed["cdigits"] = cd
+            packed["c_ndx"] = cn
+            packed["c_slen"] = np.array([g["c_len"]], np.int32)
+        geo = {k: jnp.asarray(v)
+               for k, v in sd.compress_geo(packed).items()}
         nonsd = bool((self.tables.uses_sd_np[list(bin_rows)] == 0).any())
         fxs = dp_pallas.FXS if g["slen"] <= self.MEGA_FXS_LIMIT \
             else dp_pallas.FXS // 2
@@ -365,7 +366,8 @@ class TpuMetaRunner:
                                           NT, SB, CP, T)
         bin_idx = np.full(B, rows[0], np.int32)
         bin_idx[:len(rows)] = rows
-        geo = {k: jnp.asarray(v) for k, v in packed.items()}
+        geo = {k: jnp.asarray(v)
+               for k, v in sd.compress_geo(packed).items()}
         nonsd = bool((self.tables.uses_sd_np[rows] == 0).any())
         fxs = dp_pallas.FXS \
             if max(it["g"]["slen"] for it in items) <= self.MEGA_FXS_LIMIT \

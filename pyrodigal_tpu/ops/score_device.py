@@ -204,6 +204,52 @@ GEO_I32 = ("ndx", "stop_val", "win_lo")
 GEO_I8 = ("typ", "strand", "edge", "stop_real", "euf", "valid")
 
 
+def compress_geo(packed):
+    """Pack the upload-heavy geometry rows for the host→device link (the
+    remote-TPU tunnel moves ~40 MB/s, so bytes are wall-clock): digit
+    sequences go 2 bases/byte (values 0-4 fit a nibble) and the six
+    per-node int8 flag rows fold into one byte/node.  The jitted entry
+    points transparently unpack (see `_unpack_geo`); numpy-side only."""
+    out = {k: v for k, v in packed.items()
+           if k not in ("digits", "n8", "cdigits")}
+    for src, dst in (("digits", "dig4"), ("cdigits", "cdig4")):
+        if src in packed:
+            d = packed[src]
+            if d.ndim == 1:
+                d = d[None]
+            if d.shape[1] % 2:
+                d = np.pad(d, ((0, 0), (0, 1)))
+            out[dst] = (d[:, 0::2] | (d[:, 1::2] << 4)).astype(np.uint8)
+    n8 = packed["n8"].astype(np.uint8)
+    typ, strand, edge, stop_real, euf, valid = n8
+    out["n8p"] = ((typ & 3) | ((strand == 1).astype(np.uint8) << 2)
+                  | ((edge & 1) << 3) | ((stop_real & 1) << 4)
+                  | ((euf & 1) << 5) | ((valid & 1) << 6))
+    return out
+
+
+def _unpack_geo(geo):
+    """Inverse of `compress_geo`, traced on device (the unpacking ops are
+    a handful of shifts XLA fuses into the scoring pipeline).  Plain
+    (uncompressed) geometry dicts pass through untouched."""
+    if "n8p" not in geo:
+        return geo
+    g = dict(geo)
+    for src, dst in (("dig4", "digits"), ("cdig4", "cdigits")):
+        if src in g:
+            d4 = g.pop(src)
+            G2, S2 = d4.shape
+            g[dst] = jnp.stack([d4 & 15, d4 >> 4],
+                               axis=-1).reshape(G2, 2 * S2)
+    p = g.pop("n8p").astype(jnp.int32)
+    typ = p & 3
+    strand = jnp.where((p >> 2) & 1 == 1, 1, -1)
+    g["n8"] = jnp.stack([
+        typ, strand, (p >> 3) & 1, (p >> 4) & 1, (p >> 5) & 1,
+        (p >> 6) & 1]).astype(jnp.int8)
+    return g
+
+
 def pack_geometries(geoms, G, n, S):
     """Stack geometry dicts into fixed-shape arrays for one launch."""
     out = {
@@ -1059,6 +1105,7 @@ def score_dp_launch(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
 
     Returns (score, traceb, ovmark) over the padded node axis and the
     per-item best terminal path score — all device-resident."""
+    geo = _unpack_geo(geo)
     (ndx, stop_val, typ, strand, win_lo, valid,
      cscore, ssc, rsc, usc, star_ptr, stw) = _score_items(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
@@ -1116,6 +1163,7 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
     slot_idx is 0 for real bins / 1 for padding.  Returns the bitcast
     best-score vector — (BT,) single contig, (CP, BT) packed (padded
     rows/slots yield garbage scores the caller ignores)."""
+    geo = _unpack_geo(geo)
     (ndx, stop_val, typ, strand, win_lo, valid,
      cscore, ssc, rsc, usc, edge, stw) = _score_items(
         tables, geo, bin_idx, gidx, is_meta=is_meta, closed=closed,
@@ -1144,6 +1192,7 @@ def score_dp_launch_mega(tables, geo, bin_idx, gidx, slot_idx, *, is_meta,
 def score_only(tables, geo, bin_idx, gidx, *, is_meta, closed, S3,
                has_nonsd, relk=32, max_overlap=60):
     """Scoring without the DP — for differential tests vs the C engine."""
+    geo = _unpack_geo(geo)
     return _score_items(tables, geo, bin_idx, gidx, is_meta=is_meta,
                         closed=closed, S3=S3, has_nonsd=has_nonsd,
                         relk=relk, max_overlap=max_overlap)

@@ -214,3 +214,35 @@ if __name__ == "__main__":
         run_fingerprint()
     else:
         run_scan()
+
+# ---------------------------------------------------------------------------
+# Round-5 findings
+#
+# * RATIONAL FINGERPRINT (the decisive negative result): if the oracle
+#   bias were 3*m/sum(m) with INTEGRAL masses m, some total S would put
+#   tgt*S/3 on the integer lattice to ~1e-9 (the oracle doubles carry 17
+#   significant digits).  Scanning every S <= 40,000,000 at step 1 for
+#   all three oracles: best residuals 7.8e-5 / 7.1e-5 / 1.0e-4 — three
+#   orders of magnitude above a true hit, and the scan range covers
+#   integral, half-, third- and sixth-integral masses for any plausible
+#   tally size.  CONCLUSION: the reference tally is genuinely
+#   real-valued.  This falsifies the ENTIRE hypothesis space scanned in
+#   rounds 2-4 (winner-mass / count / length weights over any geometry,
+#   subsets, dedup or tie rule — all integral), so future fitting should
+#   scan only formulas with a division by a node-dependent quantity.
+# * Per-ORF subsets (the round-4 verdict's hypothesis (a)): the MIXED
+#   dedups "longest" (fwd-first + rev-last span per stop group) and
+#   "shortest" were scanned here against all three oracles jointly with
+#   6 winner orders x offset grids x 6 weight families — best 2.5e-3,
+#   no hit (and per the fingerprint, no integral variant can hit).
+# * Fractional families scanned at exactness: winner fraction 3m/L,
+#   full-vector fraction sums, m/L, m^2/L, m*L, strand-asymmetric
+#   mass*(L+a_fwd|b_rev)/L for a,b in [-4,4] over span and gene-length
+#   denominators — best 2.1e-3; the residual structure (SRR: frames 1<->2
+#   exchange ~64.5 units with frame 0 matching to 2.5e-8; GCF: all three
+#   frames off at ~1e-3 relative) matches none of them.
+# * A joint Gauss-Newton fit of class-summed per-node features (mass,
+#   1, L, m/L, m^2/L, second-best, min, L/3-m, margin) against all three
+#   oracles cannot beat mass alone (3.3e-4) — the missing term is NOT a
+#   linear combination of these features under our winner classes.
+# ---------------------------------------------------------------------------
