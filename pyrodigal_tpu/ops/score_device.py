@@ -521,6 +521,22 @@ def _derive_m6(geo):
 
 
 
+
+def _oh_pick(oh, blocks):
+    """One-hot super-block selection on the MXU with EXACT integer
+    values: the 12-bit 6-mer codes are split into two 6-bit halves
+    (exact in bfloat16), contracted in one native-bf16 pass each and
+    recombined — ~6x the throughput of a HIGHEST-precision f32
+    contraction with bit-identical results (every output sums exactly
+    one product of a 0/1 weight and a value < 64)."""
+    bhi = jnp.floor(blocks * (1.0 / 64.0))
+    blo = blocks - bhi * 64.0
+    ohb = oh.astype(jnp.bfloat16)
+    Rhi = jnp.einsum("gnq,gqc->gnc", ohb, bhi.astype(jnp.bfloat16))
+    Rlo = jnp.einsum("gnq,gqc->gnc", ohb, blo.astype(jnp.bfloat16))
+    return Rhi.astype(F32) * 64.0 + Rlo.astype(F32)
+
+
 def _window_gather(a, start, L):
     """``out[g, n, w] = a[g, start[g, n] + w]`` for w in [0, L), with reads
     outside [0, S) returning 0.
@@ -540,8 +556,7 @@ def _window_gather(a, start, L):
     q = (start + 128) >> 7
     r = (start + 128) & 127
     oh = jax.nn.one_hot(q, nblk, dtype=F32)            # (G, n, nblk)
-    R = jnp.einsum("gnq,gqc->gnc", oh, blocks,
-                   precision=jax.lax.Precision.HIGHEST)
+    R = _oh_pick(oh, blocks)
     for bit in (64, 32, 16, 8, 4, 2, 1):
         R = jnp.where((r & bit)[..., None] != 0,
                       jnp.roll(R, -bit, axis=2), R)
@@ -585,8 +600,7 @@ def _window_gather_tiled(a, start, ok, L, node_tile=2048, SW=131072):
         q = l >> 7
         r = l & 127
         oh = jax.nn.one_hot(q, nblk, dtype=F32)
-        R = jnp.einsum("gnq,gqc->gnc", oh, blocks,
-                       precision=jax.lax.Precision.HIGHEST)
+        R = _oh_pick(oh, blocks)
         for bit in (64, 32, 16, 8, 4, 2, 1):
             R = jnp.where((r & bit)[..., None] != 0,
                           jnp.roll(R, -bit, axis=2), R)

@@ -26,6 +26,8 @@ def _run(argv):
     return rc, out.getvalue(), err.getvalue()
 
 
+@pytest.mark.filterwarnings(
+    "ignore:sequence should be at least")   # CLI trains on the 80 kb
 def test_single_mode_gff_matches_api(data, tmp_path):
     path = data("SRR492066.fna.gz")
     rc, out, err = _run(["-i", path, "-p", "single"])
@@ -45,6 +47,8 @@ def test_single_mode_gff_matches_api(data, tmp_path):
         assert cols[6] == "+-"[gene.strand == -1]
 
 
+@pytest.mark.filterwarnings(
+    "ignore:sequence should be at least")   # CLI trains on the 80 kb
 def test_single_mode_writers(data, tmp_path):
     path = data("SRR492066.fna.gz")
     nuc = tmp_path / "genes.fna"
@@ -63,6 +67,8 @@ def test_single_mode_writers(data, tmp_path):
     assert scores.read_text()
 
 
+@pytest.mark.filterwarnings(
+    "ignore:sequence should be at least")   # CLI trains on the 80 kb
 def test_training_file_roundtrip(data, tmp_path):
     path = data("SRR492066.fna.gz")
     tfile = tmp_path / "model.trn"
@@ -133,6 +139,8 @@ def test_meta_mode_jax_all_writers_byte_equal(data, tmp_path):
     assert outs["jax"] == outs["refcore"]
 
 
+@pytest.mark.filterwarnings(
+    "ignore:sequence should be at least")   # CLI trains on the 80 kb
 def test_gzip_stdin_like_input(data, tmp_path):
     # plain-text input file (zopen sniffing passthrough)
     src = data("SRR492066.fna.gz")
@@ -151,6 +159,8 @@ def test_bad_input_returns_errno(tmp_path):
     assert "Error" in err
 
 
+@pytest.mark.filterwarnings(
+    "ignore:sequence should be at least")   # CLI trains on the 80 kb
 def test_jobs_thread_pool(data):
     """-j/--pool must parallelize over contigs without changing output."""
     path = data("SRR492066.fna.gz")
