@@ -447,3 +447,34 @@ def test_star_pallas_matches_xla_tables(data):
                            rtol=1e-6, atol=1e-5)
         assert np.array_equal(np.asarray(t_sv[k]), ref_tabs[2][k])
         assert np.array_equal(np.asarray(t_ndx[k]), ref_tabs[3][k])
+
+
+@needs_bins
+def test_geo_compression_roundtrip(data):
+    """compress_geo (the tunnel byte-pack) + _unpack_geo must reproduce
+    the geometry exactly: digits 2 bases/byte, six int8 flag rows in one
+    byte/node (see score_device.compress_geo)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyrodigal_tpu.sequence import Sequence
+    from pyrodigal_tpu.ops.meta_tpu import TpuMetaRunner
+    from pyrodigal_tpu.ops import score_device as sd
+
+    seq = Sequence(list(parse(data("SRR492066.fna.gz")))[0].seq)
+    runner = TpuMetaRunner(METAGENOMIC_BINS, interpret=True)
+    _cand, geoms, _nbt, _route = runner._prepare_contig(seq)
+    g = geoms[list(geoms)[0]]
+    NT = 2048 * ((g["nn"] + 2047) // 2048)
+    SB = ((seq.slen + 196607) // 196608) * 196608
+    packed = sd.pack_geometries([g], 1, NT, SB)
+    comp = sd.compress_geo(packed)
+    assert sum(v.nbytes for v in comp.values()) \
+        < 0.7 * sum(v.nbytes for v in packed.values())
+    geo = sd._unpack_geo({k: jnp.asarray(v) for k, v in comp.items()})
+    assert np.array_equal(np.asarray(geo["digits"]), packed["digits"])
+    assert np.array_equal(np.asarray(geo["n8"]), packed["n8"])
+    for k in ("n32", "slen"):
+        assert np.array_equal(np.asarray(geo[k]), packed[k])
+    # plain dicts pass through untouched
+    plain = {k: jnp.asarray(v) for k, v in packed.items()}
+    assert sd._unpack_geo(plain) is plain
