@@ -2060,6 +2060,21 @@ void rc_build_coverage_map(double real[4][4][4096], int good[4][4][4096],
     for (l = 1; l < 4; l++) {
         size = 1 << (2 * (l + 3));
         for (i = 0; i < size; i++) {
+            if (BCM_VARIANT >= 7) {
+                /* sliding-3-mer family: a (l+3)-mer is good when all of
+                 * its l+1 constituent 3-mers are good (any-spacer), with
+                 * an own-count requirement per variant */
+                int w, allw = 1, own = 0;
+                for (w = 0; w <= l; w++)
+                    if (!good[0][0][(i >> (2 * w)) & 63]) allw = 0;
+                for (j = 0; j < 4; j++)
+                    if (real[l][j][i] / ng >= thresh) own = 1;
+                if (!allw) continue;
+                if (BCM_VARIANT == 7 && !own) continue;
+                if (BCM_VARIANT == 9 && l == 1 && !own) continue;
+                for (j = 0; j < 4; j++) good[l][j][i] = 1;
+                continue;
+            }
             pre = i & ((1 << (2 * (l + 2))) - 1);
             suf = i >> 2;
             if (BCM_VARIANT == 1) {
